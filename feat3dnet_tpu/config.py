@@ -1,0 +1,108 @@
+"""Configuration dataclasses for the framework.
+
+Mirrors the reference's parameter surface (`train.py:20-67`, `inference.py:25-59`,
+`config.py:1-5`, `models/feat3dnet.py:192-209` in /root/reference) as typed
+dataclasses instead of argparse globals + a param dict.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model hyperparameters (reference: feat3dnet.py:192-209, train.py:36-44).
+
+    Attributes:
+      num_clusters: clusters sampled by FPS during training (reference
+        NUM_CLUSTERS=512, train.py:15). -1 = use every point as a keypoint
+        (reference inference path, inference.py:82).
+      base_scale: cluster radius in metres (reference BaseScale, 2.0).
+      num_samples: max points per cluster (64).
+      feature_dim: descriptor dimensionality, one of {16, 32, 64, 128}.
+      attention: predict per-cluster attention (reference 'Attention').
+      regress_orientation: regress per-cluster z-rotation (reference
+        'NoRegress' inverted).
+      use_bn: batch normalization in the shared MLPs (reference USE_BN).
+      margin: triplet loss margin (0.2).
+      compute_dtype: dtype for MLP matmuls. float32 matches the reference
+        bit-for-bit; bfloat16 doubles MXU throughput at ~1e-3 descriptor
+        cosine error (still far below matching thresholds).
+    """
+
+    num_clusters: int = 512
+    base_scale: float = 2.0
+    num_samples: int = 64
+    feature_dim: int = 32
+    attention: bool = True
+    regress_orientation: bool = True
+    use_bn: bool = True
+    margin: float = 0.2
+    bn_momentum: float = 0.9          # reference EMA decay (layers.py:251)
+    bn_epsilon: float = 1e-3          # reference tf.nn.batch_normalization eps (layers.py:271)
+    compute_dtype: Any = jnp.float32
+
+    # MLP widths (reference feat3dnet.py:278-301). Descriptor mlp2 widens to
+    # [256] when feature_dim > 64, matching feat3dnet.py:300.
+    detector_mlp: Sequence[int] = (64, 128, 256)
+    detector_mlp2: Sequence[int] = (128, 64)
+    descriptor_mlp: Sequence[int] = (32, 64)
+
+    @property
+    def descriptor_mlp2(self) -> Sequence[int]:
+        return (256,) if self.feature_dim > 64 else (128,)
+
+    @property
+    def descriptor_mlp3(self) -> Sequence[int]:
+        return (self.feature_dim,)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference: train.py:20-67, config.py, train.sh)."""
+
+    batch_size: int = 6               # triplets per step (reference BATCH_SIZE)
+    num_points: int = 4096            # points per cloud after crop+resample
+    learning_rate: float = 1e-5       # reference AdamOptimizer default (feat3dnet.py:363)
+    num_epochs: int = 1000
+    augmentations: Sequence[str] = ("Jitter", "RotateSmall", "Shift", "Rotate1D")
+    upright_axis: int = 2             # z-up (reference UPRIGHT_AXIS)
+    crop_radius: float = 20.0         # metres (reference datagenerator.py:144)
+    freeze_scopes: Optional[Sequence[str]] = None
+    checkpoint_every_n_steps: int = 500
+    validate_every_n_steps: int = 250
+    summary_every_n_steps: int = 20
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Inference/NMS parameters (reference: inference.py:25-59)."""
+
+    nms_radius: float = 0.5
+    min_response_ratio: float = 1e-2
+    max_keypoints: int = 1024
+    # Query-points processed per device pass. The reference chunks attention
+    # at MAX_POINTS=30000 for GPU memory (inference.py:22); on TPU this is a
+    # static bucket size for the keypoint axis.
+    keypoint_chunk: int = 32768
+    num_points: int = -1              # -1 = no downsample
+    randomize_points: bool = False
+
+
+# Padded-size buckets for the points axis. Static shapes are mandatory under
+# jit; clouds are padded (with a validity mask) to the smallest bucket that
+# fits, replacing the reference's ragged handling (duplicate-pad in
+# datagenerator.py:148-156).
+POINT_BUCKETS = (4096, 8192, 16384, 32768, 65536, 131072)
+
+
+def bucket_for(n: int) -> int:
+    """Smallest static bucket that holds n points."""
+    for b in POINT_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + POINT_BUCKETS[-1] - 1) // POINT_BUCKETS[-1]) * POINT_BUCKETS[-1]

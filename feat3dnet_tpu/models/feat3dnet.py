@@ -1,0 +1,220 @@
+"""Feat3DNet: weakly-supervised 3D feature detector + descriptor, TPU-native.
+
+Rebuilt from the behavior of /root/reference/models/feat3dnet.py (TF1):
+
+* detector (feature_detection_module, :90-151): FPS cluster centers →
+  radius-2.0 neighborhoods of ≤64 points, centered and radius-normalized →
+  shared MLP [64,128,256] → maxpool → MLP [128,64] → heads: attention
+  (1-unit Dense + softplus) and orientation (2-unit Dense → L2-normalize →
+  atan2).
+* descriptor (feature_extraction_module + pointnet_sa_module, :9-87,154-187):
+  neighborhoods around the keypoints, rotated into the detector's canonical
+  z-orientation → MLP [32,64] → maxpool → concat(pointwise, pooled) → MLP
+  [128] (BN, no relu) → maxpool → MLP [feature_dim] (BN, no relu) →
+  L2-normalize.
+* triplet forward (get_train_model, :227-256): anchor/positive/negative
+  stacked on the batch axis, one shared forward, split in three.
+
+Key structural parity detail: our ball-query replicates the reference's
+first-nsample-in-index-order + repeat-pad semantics exactly, so the padded
+slots are copies of real cluster members. Max-pools and batch-norm
+statistics therefore match the reference bit-for-bit without any
+neighborhood masking.
+
+The one piece of reference behavior deliberately NOT rebuilt: the
+`compute_det_gradients` debug instrumentation (feat3dnet.py:125-127), which
+writes into `end_points['gradients']['det']` on an empty dict and raises
+KeyError whenever enabled — broken-as-shipped debug code (see SURVEY.md
+§2.2). `jax.grad` subsumes it.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from feat3dnet_tpu.config import ModelConfig
+from feat3dnet_tpu.models.layers import ConvBN, l2_normalize
+from feat3dnet_tpu.ops import ball_query, farthest_point_sample, gather_points, group_points
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class Feat3DNetOutput:
+    """Forward-pass outputs (the reference's xyz/features/attention/end_points)."""
+
+    keypoints: Array               # (B, M, 3) cluster centers / keypoints
+    features: Array                # (B, M, feature_dim) L2-normalized descriptors
+    attention: Optional[Array]     # (B, M) softplus saliency, None if disabled
+    orientation: Optional[Array]   # (B, M) radians, None if NoRegress
+    end_points: Dict[str, Array]
+
+
+def _group_normalized(
+    xyz: Array,
+    centers: Array,
+    radius: float,
+    nsample: int,
+    valid_mask: Optional[Array],
+    orientations: Optional[Array] = None,
+) -> Tuple[Array, Array, Array]:
+    """Ball-query + gather + center + radius-normalize (+ optional z-rotation).
+
+    Mirrors query_and_group_points / sample_and_group (reference
+    pointnet_common.py:32-135) with normalize_radius=True.
+
+    Returns (grouped (B,M,ns,3), idx (B,M,ns), cnt (B,M)).
+    """
+    idx, cnt = ball_query(xyz, centers, radius, nsample, valid_mask=valid_mask)
+    grouped = group_points(xyz, idx)                      # (B, M, ns, 3)
+    grouped = grouped - centers[:, :, None, :]
+    grouped = grouped / radius
+    if orientations is not None:
+        # Rotation applied as row-vector @ R with R = [[c, s, 0], [-s, c, 0],
+        # [0, 0, 1]]: x' = x·c − y·s, y' = x·s + y·c (reference
+        # pointnet_common.py:112-119, the sample_and_group/descriptor path).
+        c = jnp.cos(orientations)[:, :, None]
+        s = jnp.sin(orientations)[:, :, None]
+        x, y, z = grouped[..., 0], grouped[..., 1], grouped[..., 2]
+        grouped = jnp.stack([x * c - y * s, x * s + y * c, z], axis=-1)
+    return grouped, idx, cnt
+
+
+class Detector(nn.Module):
+    """Attention + orientation head over grouped clusters (reference :90-151)."""
+
+    cfg: ModelConfig
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, grouped: Array, training: bool) -> Tuple[Array, Array]:
+        cfg = self.cfg
+        x = grouped.astype(cfg.compute_dtype)
+        conv = lambda f, name: ConvBN(
+            f, use_bn=cfg.use_bn, dtype=cfg.compute_dtype,
+            bn_momentum=cfg.bn_momentum, bn_epsilon=cfg.bn_epsilon,
+            bn_axis_name=self.bn_axis_name, name=name)
+        for i, f in enumerate(cfg.detector_mlp):
+            x = conv(f, f"conv{i}")(x, training)
+        x = jnp.max(x, axis=2, keepdims=True)                      # pool over samples
+        for i, f in enumerate(cfg.detector_mlp2):
+            x = conv(f, f"conv_post_{i}")(x, training)
+
+        att = nn.Dense(1, dtype=cfg.compute_dtype, name="attention")(x)
+        attention = jax.nn.softplus(att[..., 0, 0]).astype(jnp.float32)  # (B, M)
+
+        ori = nn.Dense(2, dtype=cfg.compute_dtype, name="orientation")(x)
+        ori = l2_normalize(ori[..., 0, :].astype(jnp.float32), axis=-1, epsilon=1e-8)
+        orientation = jnp.arctan2(ori[..., 1], ori[..., 0])              # (B, M)
+        return attention, orientation
+
+
+class Descriptor(nn.Module):
+    """PointNet-style SA descriptor tower (reference pointnet_sa_module :9-87).
+
+    MLP → maxpool → concat(pointwise ⊕ pooled) → MLP2 (no final relu) →
+    maxpool → MLP3 (no final relu) → L2-normalize.
+    """
+
+    cfg: ModelConfig
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, grouped: Array, training: bool) -> Array:
+        cfg = self.cfg
+        conv = lambda f, name, act: ConvBN(
+            f, use_bn=cfg.use_bn, activation=act, dtype=cfg.compute_dtype,
+            bn_momentum=cfg.bn_momentum, bn_epsilon=cfg.bn_epsilon,
+            bn_axis_name=self.bn_axis_name, name=name)
+
+        x = grouped.astype(cfg.compute_dtype)
+        for i, f in enumerate(cfg.descriptor_mlp):
+            x = conv(f, f"conv{i}", nn.relu)(x, training)
+
+        pooled = jnp.max(x, axis=2, keepdims=True)
+        pooled = jnp.broadcast_to(pooled, x.shape[:2] + (x.shape[2], pooled.shape[-1]))
+        x = jnp.concatenate([x, pooled], axis=-1)
+
+        # final_relu=False in the reference descriptor (feat3dnet.py:182):
+        # the LAST layer of mlp2 and of mlp3 has BN but no activation.
+        mlp2 = cfg.descriptor_mlp2
+        for i, f in enumerate(mlp2):
+            act = nn.relu if i < len(mlp2) - 1 else None
+            x = conv(f, f"conv_mid_{i}", act)(x, training)
+
+        x = jnp.max(x, axis=2, keepdims=True)
+
+        mlp3 = cfg.descriptor_mlp3
+        for i, f in enumerate(mlp3):
+            act = nn.relu if i < len(mlp3) - 1 else None
+            x = conv(f, f"conv_post_{i}", act)(x, training)
+
+        x = x[..., 0, :].astype(jnp.float32)                       # (B, M, D)
+        return l2_normalize(x, axis=-1, epsilon=1e-8)
+
+
+class Feat3DNet(nn.Module):
+    """Full model. Apply with mutable=['batch_stats'] when training.
+
+    Call modes (mirroring the reference's placeholder-feeding tricks):
+      * keypoints=None, cfg.num_clusters>0  — training path: FPS centers.
+      * keypoints=None, cfg.num_clusters<=0 — every (valid) point is a
+        keypoint (reference inference.py:82, num_clusters=-1).
+      * keypoints given — detector + descriptor evaluated AT those points
+        (the reference's feed of end_points['keypoints'], train.py:295-302 /
+        inference.py:169-171).
+    """
+
+    cfg: ModelConfig
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        cloud: Array,                      # (B, N, >=3); only xyz used
+        training: bool = False,
+        keypoints: Optional[Array] = None,
+        valid_mask: Optional[Array] = None,
+    ) -> Feat3DNetOutput:
+        cfg = self.cfg
+        xyz = cloud[..., :3].astype(jnp.float32)
+        end_points: Dict[str, Array] = {}
+
+        if keypoints is not None:
+            centers = keypoints
+        elif cfg.num_clusters > 0:
+            fps_idx = farthest_point_sample(xyz, cfg.num_clusters, valid_mask=valid_mask)
+            centers = jax.lax.stop_gradient(gather_points(xyz, fps_idx))
+        else:
+            centers = xyz
+
+        # --- Detection ---------------------------------------------------
+        grouped, det_idx, det_cnt = _group_normalized(
+            xyz, centers, cfg.base_scale, cfg.num_samples, valid_mask)
+        attention, orientation = Detector(
+            cfg, bn_axis_name=self.bn_axis_name, name="detection")(grouped, training)
+        end_points["keypoints"] = centers
+        end_points["attention"] = attention
+        end_points["orientation"] = orientation
+        end_points["det_cnt"] = det_cnt
+
+        # --- Description -------------------------------------------------
+        desc_orientation = orientation if cfg.regress_orientation else None
+        grouped2, _, desc_cnt = _group_normalized(
+            xyz, centers, cfg.base_scale, cfg.num_samples, valid_mask,
+            orientations=desc_orientation)
+        features = Descriptor(
+            cfg, bn_axis_name=self.bn_axis_name, name="description")(grouped2, training)
+        end_points["desc_cnt"] = desc_cnt
+
+        return Feat3DNetOutput(
+            keypoints=centers,
+            features=features,
+            attention=attention if cfg.attention else None,
+            orientation=orientation if cfg.regress_orientation else None,
+            end_points=end_points,
+        )

@@ -1,0 +1,79 @@
+"""Shared-MLP building blocks.
+
+The reference's `conv2d` (/root/reference/models/layers.py:11-46) is a
+slim.conv2d with 1x1 kernels — i.e. a per-point Dense — followed by a
+hand-rolled EMA batch norm (layers.py:225-272: batch statistics during
+training, EMA(decay=0.9) statistics during eval, epsilon 1e-3, activation
+applied AFTER the norm). On TPU the 1x1 conv is expressed directly as a
+Dense over the channel axis so XLA maps it onto the MXU as one large
+(B·M·S, Cin)x(Cin, Cout) matmul with the bias/norm/activation fused in.
+
+Submodule names mirror the TF variable scopes ('conv2d', 'bn') so the TF1
+checkpoint loader (utils/tf1_loader.py) can map names mechanically.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class ConvBN(nn.Module):
+    """Dense (= 1x1 conv) + optional EMA batch-norm + activation.
+
+    Parity notes:
+      * bias is always present (slim.conv2d default), even under BN —
+        redundant but kept for checkpoint compatibility.
+      * BN: momentum 0.9 (reference EMA decay, layers.py:251), epsilon 1e-3
+        (layers.py:271), statistics over all axes but the channel axis
+        (moments_dims [0,1,2], layers.py:209).
+      * activation after BN (layers.py:34,43-44).
+    """
+
+    features: int
+    use_bn: bool = True
+    activation: Optional[Callable[[Array], Array]] = nn.relu
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32           # compute dtype; params stay float32
+    bn_axis_name: Optional[str] = None  # set to mesh axis for cross-replica BN
+
+    @nn.compact
+    def __call__(self, x: Array, training: bool) -> Array:
+        x = nn.Dense(self.features, dtype=self.dtype, name="conv2d")(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_epsilon,
+                dtype=self.dtype,
+                axis_name=self.bn_axis_name if training else None,
+                name="bn",
+            )(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def l2_normalize(x: Array, axis: int = -1, epsilon: float = 1e-8) -> Array:
+    """tf.nn.l2_normalize semantics: x * rsqrt(max(sum(x^2), epsilon))."""
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, epsilon))
+
+
+def pairwise_sqdist_features(a: Array, b: Array) -> Array:
+    """(B, N, D) x (B, M, D) -> (B, N, M) squared L2 between descriptor sets.
+
+    Reference `pairwise_dist` (layers.py:49-62). Descriptors are
+    L2-normalized and near the origin, so here (unlike raw coordinates) the
+    MXU-friendly |a|^2+|b|^2-2ab expansion is numerically safe and turns the
+    O(N·M·D) work into one batched matmul.
+    """
+    a2 = jnp.sum(jnp.square(a), axis=-1, keepdims=True)             # (B, N, 1)
+    b2 = jnp.sum(jnp.square(b), axis=-1)[..., None, :]              # (B, 1, M)
+    ab = jnp.einsum("bnd,bmd->bnm", a, b, preferred_element_type=a.dtype)
+    return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)

@@ -1,0 +1,44 @@
+"""Point-set primitives: the TPU-native equivalents of the reference's CUDA ops.
+
+Reference (cwlroda/3DFeatNet) op inventory and where each lives here:
+
+  farthest_point_sample (tf_ops/sampling/tf_sampling_g.cu:105-170)
+      -> fps.farthest_point_sample (lax.scan) / fps.farthest_point_sample_pallas
+  gather_point (+grad)  (tf_sampling_g.cu:172-192)
+      -> neighborhoods.gather_points (take_along_axis; AD gives a
+         deterministic scatter-add gradient, unlike the CUDA atomicAdd)
+  query_ball_point      (tf_ops/grouping/tf_grouping_g.cu:3-52)
+      -> neighborhoods.ball_query  (masked cumsum + binary search)
+  query_ball_point2     (tf_grouping_g.cu:56-90; per-cluster radii)
+      -> neighborhoods.ball_query with per-cluster `radius` array
+  group_point (+grad)   (tf_grouping_g.cu:94-132)
+      -> neighborhoods.group_points
+  selection_sort/knn    (tf_grouping_g.cu:137-177, tf_grouping.py:63-88)
+      -> neighborhoods.knn_points (lax.top_k)
+  prob_sample           (tf_sampling_g.cu:7-104)
+      -> sampling.prob_sample (cumsum + searchsorted)
+
+All ops take fixed-shape padded tensors with optional validity masks; there is
+no ragged data anywhere. See each module for the semantic-parity notes.
+"""
+from feat3dnet_tpu.ops.neighborhoods import (
+    ball_query,
+    gather_points,
+    group_points,
+    knn_points,
+    pairwise_sqdist,
+)
+from feat3dnet_tpu.ops.fps import farthest_point_sample
+from feat3dnet_tpu.ops.sampling import prob_sample
+from feat3dnet_tpu.ops.nms import nms_keypoints
+
+__all__ = [
+    "ball_query",
+    "gather_points",
+    "group_points",
+    "knn_points",
+    "pairwise_sqdist",
+    "farthest_point_sample",
+    "prob_sample",
+    "nms_keypoints",
+]

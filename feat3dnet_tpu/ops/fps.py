@@ -1,0 +1,143 @@
+"""Farthest point sampling.
+
+Parity target: reference CUDA kernel `farthestpointsamplingKernel`
+(/root/reference/tf_ops/sampling/tf_sampling_g.cu:105-170): deterministic
+start at index 0, per-point running min of squared distances to the chosen
+set (init 1e38), argmax of that array picks each next point. The only
+sequential dependency is across the `npoint` steps; each step is a parallel
+distance-update + argmax — exactly the shape SURVEY.md §2.1 flags as the
+hard kernel.
+
+Two implementations:
+
+* `farthest_point_sample` — a `lax.scan` over steps; each step is fused
+  VPU work on (B, N). This is the portable path (CPU tests, autodiff-free).
+* `farthest_point_sample_pallas` — a Pallas kernel that keeps coordinates
+  and the min-distance array resident in VMEM across all `npoint` steps
+  (grid over batch), so the loop never round-trips HBM. Coordinates are
+  laid out (3, N): N on the 128-lane axis, which is what the VPU wants —
+  the reference's (N, 3) layout would waste 125/128 lanes.
+
+Neither has a gradient; the reference registers none either
+(tf_sampling.py:57). Ties in the argmax resolve to the lowest index (same
+as the CUDA tree reduction's bias toward lower thread indices).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_INIT_DIST = 1e38  # reference temp init (tf_sampling_g.cu:118)
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def farthest_point_sample(
+    xyz: Array, npoint: int, valid_mask: Optional[Array] = None
+) -> Array:
+    """Iterative FPS: (B, N, 3) -> (B, npoint) int32 indices.
+
+    Args:
+      xyz: points. Padded entries allowed if valid_mask is given.
+      npoint: number of samples (static).
+      valid_mask: optional (B, N) bool; invalid points are never selected
+        (the reference has no masking — clouds are pre-duplicated to size).
+    """
+    n = xyz.shape[-2]
+    select_penalty = None
+    if valid_mask is not None:
+        # Invalid points can never win the argmax.
+        select_penalty = jnp.where(valid_mask, 0.0, -jnp.inf).astype(xyz.dtype)
+
+    def step(carry, _):
+        mindist, last = carry
+        sel = jnp.take_along_axis(xyz, last[..., None, None], axis=-2)  # (B, 1, 3)
+        d = jnp.sum(jnp.square(xyz - sel), axis=-1)                      # (B, N)
+        mindist = jnp.minimum(mindist, d)
+        score = mindist if select_penalty is None else mindist + select_penalty
+        nxt = jnp.argmax(score, axis=-1).astype(jnp.int32)               # (B,)
+        return (mindist, nxt), nxt
+
+    batch = xyz.shape[:-2]
+    init = (
+        jnp.full(batch + (n,), _INIT_DIST, dtype=xyz.dtype),
+        jnp.zeros(batch, dtype=jnp.int32),  # start at index 0 (tf_sampling_g.cu:114)
+    )
+    if npoint <= 1:
+        return jnp.zeros(batch + (npoint,), dtype=jnp.int32)
+    _, rest = jax.lax.scan(step, init, None, length=npoint - 1)
+    rest = jnp.moveaxis(rest, 0, -1)                                     # (B, npoint-1)
+    return jnp.concatenate([jnp.zeros(batch + (1,), jnp.int32), rest], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _fps_kernel(xyz_ref, mask_ref, idx_ref, mindist_ref, *, npoint: int, n: int):
+    """One batch element per grid step.
+
+    Block shapes: xyz_ref (1, 3, N), mask_ref (1, 1, N), idx_ref
+    (1, 1, npoint), mindist scratch (1, N).
+    """
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    slot_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+    xyz = xyz_ref[0]                                                    # (3, n)
+
+    mindist_ref[:] = jnp.full((1, n), _INIT_DIST, dtype=jnp.float32)
+    idx_ref[0] = jnp.zeros((1, npoint), jnp.int32)  # slot 0 = start index 0
+
+    penalty = jnp.where(mask_ref[0] != 0, 0.0, -jnp.inf)                # (1, n)
+
+    def body(j, last):
+        # Fetch the selected point's coords with a one-hot reduction — a
+        # lane-dim dynamic scalar gather would serialize; this is two VPU
+        # passes over (3, N).
+        onehot = (lanes == last).astype(jnp.float32)                    # (1, n)
+        sel = jnp.sum(xyz * onehot, axis=1, keepdims=True)              # (3, 1)
+        diff = xyz - sel
+        d = jnp.sum(diff * diff, axis=0, keepdims=True)                 # (1, n)
+        md = jnp.minimum(mindist_ref[:], d)
+        mindist_ref[:] = md
+        nxt = jnp.argmax(md + penalty, axis=1)[0].astype(jnp.int32)
+        # Masked row update — Mosaic forbids scalar stores to VMEM.
+        idx_ref[0] = jnp.where(slot_lanes == j, nxt, idx_ref[0])
+        return nxt
+
+    jax.lax.fori_loop(1, npoint, body, jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def farthest_point_sample_pallas(
+    xyz: Array, npoint: int, valid_mask: Optional[Array] = None
+) -> Array:
+    """Pallas FPS: whole loop on-chip, one grid step per batch element.
+
+    VMEM footprint per step: (3+2)·N·4 B — e.g. 2.5 MB at N=131072, well
+    inside the ~16 MB budget.
+    """
+    b, n, _ = xyz.shape
+    xyz_t = jnp.moveaxis(xyz.astype(jnp.float32), -1, -2)  # (B, 3, N)
+    if valid_mask is None:
+        mask = jnp.ones((b, 1, n), dtype=jnp.int32)
+    else:
+        mask = valid_mask.astype(jnp.int32)[:, None, :]
+
+    out = pl.pallas_call(
+        partial(_fps_kernel, npoint=npoint, n=n),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, npoint), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
+    )(xyz_t, mask)
+    return out[:, 0, :]

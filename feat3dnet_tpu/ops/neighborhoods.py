@@ -1,0 +1,163 @@
+"""Ball query, grouping, and kNN over fixed-shape point tensors.
+
+Semantic parity notes vs the reference CUDA kernels
+(/root/reference/tf_ops/grouping/tf_grouping_g.cu):
+
+* `query_ball_point_gpu` (:3-52) scans points in index order and keeps the
+  FIRST `nsample` whose distance is strictly below `radius`; if fewer than
+  `nsample` are found, the remaining slots repeat the FIRST in-ball index
+  (:29-35); if none are found, every slot gets the nearest point (:42-48).
+  `ball_query` reproduces exactly that: the "first nsample in index order"
+  selection is computed as a cumulative count of the in-ball mask followed by
+  a vectorized binary search (the count is nondecreasing in the point index,
+  so the k of the s-th in-ball point is `searchsorted(count, s+1)`), which is
+  O(M·N + M·nsample·log N) with no scatter and no ragged shapes.
+
+  One deliberate divergence: the CUDA kernel's nearest-point fallback keeps
+  its running minimum across ALL clusters handled by a thread (nearest_d is
+  declared outside the per-cluster loop, tf_grouping_g.cu:13-14), so its
+  fallback index can belong to a different cluster's scan — a latent bug. We
+  compute the true per-cluster nearest point.
+
+* Distances: the kernel compares `max(sqrt(d2), 1e-20) < radius`. For any
+  radius > 1e-20 this is equivalent to `d2 < radius**2`, which is what we
+  use. Distances are computed by direct coordinate differences (not the
+  |a|²+|b|²-2ab expansion) because clouds may live far from the origin —
+  e.g. the reference's validation packing offsets clusters by up to
+  51,200 m (train.py:270-293) where the expansion loses ~all mantissa bits.
+
+* `group_point_gpu` (:94-111) is a plain gather; its gradient kernel uses
+  atomicAdd (:115-132) and is therefore nondeterministic run-to-run. Here
+  grouping is `jnp.take_along_axis`, whose autodiff transpose is an XLA
+  scatter-add — deterministic on TPU. Behavior improvement, not a parity
+  break.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def pairwise_sqdist(a: Array, b: Array) -> Array:
+    """Squared L2 distances between two point sets, (..., M, 3) x (..., N, 3) -> (..., M, N).
+
+    Uses per-coordinate differences (see module docstring for why not the
+    matmul expansion). XLA fuses the three difference/square/add maps into a
+    single VPU pass, so nothing of shape (..., M, N, 3) is materialized.
+    """
+    d = None
+    for c in range(a.shape[-1]):
+        dc = a[..., c:c + 1] - b[..., None, :, c]
+        dc = dc * dc
+        d = dc if d is None else d + dc
+    return d
+
+
+def ball_query(
+    xyz: Array,
+    centers: Array,
+    radius: Union[float, Array],
+    nsample: int,
+    valid_mask: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Fixed-size radius neighborhoods around each center.
+
+    The TPU-native equivalent of QueryBallPoint / QueryBallPoint2
+    (reference tf_grouping_g.cu:3-90; Python wrappers tf_grouping.py:9-36).
+
+    Args:
+      xyz: (B, N, 3) candidate points.
+      centers: (B, M, 3) query centers.
+      radius: scalar, or (B, M) per-center radii (the QueryBallPoint2 variant).
+      nsample: neighborhood capacity.
+      valid_mask: optional (B, N) bool; padded points are never selected.
+
+    Returns:
+      idx: (B, M, nsample) int32 — for each center, the first `nsample`
+        in-ball point indices in index order, padded per reference semantics
+        (repeat first in-ball index; nearest point if the ball is empty).
+      cnt: (B, M) int32 — number of in-ball points, capped at nsample
+        (reference pts_cnt).
+    """
+    n = xyz.shape[-2]
+    d2 = pairwise_sqdist(centers, xyz)                      # (B, M, N)
+
+    radius = jnp.asarray(radius, dtype=xyz.dtype)
+    r2 = jnp.square(radius)
+    if radius.ndim > 0:
+        r2 = r2[..., None]                                  # (B, M, 1)
+    in_ball = d2 < r2                                       # strict, as in CUDA
+    if valid_mask is not None:
+        in_ball = jnp.logical_and(in_ball, valid_mask[..., None, :])
+
+    count = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)  # (B, M, N), nondecreasing
+    cnt = jnp.minimum(count[..., -1], nsample)
+
+    # k of the s-th in-ball point = first k with count == s+1. `count` is
+    # sorted along N, so this is a binary search, vectorized over (B, M, s).
+    targets = jnp.arange(1, nsample + 1, dtype=jnp.int32)
+
+    def _search(cnt_row: Array) -> Array:                   # (N,) -> (nsample,)
+        return jnp.searchsorted(cnt_row, targets, side="left").astype(jnp.int32)
+
+    search = _search
+    for _ in range(count.ndim - 1):
+        search = jax.vmap(search)
+    idx = search(count)                                     # (B, M, nsample)
+    idx = jnp.minimum(idx, n - 1)                           # slots past cnt hit N; clipped, then padded below
+
+    # Nearest-point fallback for empty balls (true per-center argmin; the
+    # reference kernel's cross-cluster bug is documented above).
+    d2_valid = d2 if valid_mask is None else jnp.where(valid_mask[..., None, :], d2, jnp.inf)
+    nearest = jnp.argmin(d2_valid, axis=-1).astype(jnp.int32)  # (B, M)
+
+    first = jnp.where(cnt > 0, idx[..., 0], nearest)        # (B, M)
+    slot = jnp.arange(nsample, dtype=jnp.int32)
+    idx = jnp.where(slot < cnt[..., None], idx, first[..., None])
+    return idx, cnt
+
+
+def group_points(points: Array, idx: Array) -> Array:
+    """Gather per-neighborhood features: (B, N, C), (B, M, S) -> (B, M, S, C).
+
+    Equivalent of GroupPoint (tf_grouping_g.cu:94-111). The autodiff
+    transpose is a deterministic XLA scatter-add (vs the reference's
+    atomicAdd grad kernel, tf_grouping_g.cu:115-132).
+    """
+    b, m, s = idx.shape
+    flat = idx.reshape(b, m * s)
+    out = jnp.take_along_axis(points, flat[..., None], axis=-2)
+    return out.reshape(b, m, s, points.shape[-1])
+
+
+def gather_points(points: Array, idx: Array) -> Array:
+    """Gather points by index: (B, N, C), (B, M) -> (B, M, C).
+
+    Equivalent of GatherPoint (tf_sampling_g.cu:172-181).
+    """
+    return jnp.take_along_axis(points, idx[..., None], axis=-2)
+
+
+def knn_points(
+    k: int,
+    xyz: Array,
+    centers: Array,
+    valid_mask: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """k nearest neighbors of each center: returns (dist2, idx), each (B, M, k).
+
+    Equivalent of knn_point / SelectionSort (reference tf_grouping.py:63-88,
+    tf_grouping_g.cu:137-177 — a partial selection sort of the distance
+    matrix). lax.top_k breaks ties by lower index, matching selection-sort
+    order on ties.
+    """
+    d2 = pairwise_sqdist(centers, xyz)
+    if valid_mask is not None:
+        d2 = jnp.where(valid_mask[..., None, :], d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return -neg, idx.astype(jnp.int32)

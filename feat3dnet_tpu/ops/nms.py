@@ -1,0 +1,109 @@
+"""On-device non-maximal suppression over attention scores.
+
+Replaces the reference's host-side NMS (/root/reference/inference.py:226-261),
+which fits a sklearn ball tree, takes each point's 50 nearest neighbors,
+zeroes attention outside `nms_radius`, and keeps points that are the argmax
+of their own neighborhood, then top-`max_keypoints` by attention with a
+`min_response_ratio` floor and pad-with-first.
+
+TPU-native formulation: a point survives iff its attention is the strict
+maximum within `nms_radius` (ties broken by lower index, matching
+np.argmax==0 semantics). Computed as a tiled masked max over the distance
+matrix — O(N²) pairs but streamed in (tile × N) blocks, entirely on-device,
+no tree. One deliberate divergence: the reference caps the neighborhood at
+50 NN, so in regions denser than 50 points/ball it can keep non-maxima; the
+radius-exact rule here strictly dominates (documented behavior improvement).
+
+Then keypoint selection is a single `lax.top_k` over masked scores.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from feat3dnet_tpu.ops.neighborhoods import pairwise_sqdist
+
+Array = jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "tile"))
+def nms_keypoints(
+    xyz: Array,
+    attention: Array,
+    nms_radius: float,
+    max_keypoints: int,
+    min_response_ratio: float = 1e-2,
+    valid_mask: Optional[Array] = None,
+    tile: int = 2048,
+) -> Tuple[Array, Array, Array]:
+    """Select keypoints by radius-NMS + top-k, batched.
+
+    Args:
+      xyz: (B, N, 3) points.
+      attention: (B, N) detector responses (softplus outputs, > 0).
+      nms_radius: suppression radius (reference default 0.5 m).
+      max_keypoints: fixed output size (reference default 1024).
+      min_response_ratio: prune responses below ratio·max (reference 1e-2).
+      valid_mask: optional (B, N) bool for padded points.
+      tile: query-tile size for the streamed distance max.
+
+    Returns:
+      kp_xyz: (B, max_keypoints, 3) selected keypoints, slots past the true
+        count repeat the strongest keypoint (reference pad-with-first,
+        inference.py:255-256).
+      kp_attention: (B, max_keypoints).
+      num_keypoints: (B,) int32 true counts.
+    """
+    b, n, _ = xyz.shape
+    att = attention
+    if valid_mask is not None:
+        att = jnp.where(valid_mask, att, 0.0)
+
+    r2 = jnp.asarray(nms_radius, xyz.dtype) ** 2
+    pad_to = -n % tile
+    xyz_p = jnp.pad(xyz, ((0, 0), (0, pad_to), (0, 0)))
+    att_p = jnp.pad(att, ((0, 0), (0, pad_to)), constant_values=-jnp.inf)
+    n_tiles = xyz_p.shape[1] // tile
+    idx_all = jnp.arange(n)
+
+    def per_batch(xyz_b, att_b, att_full_b):
+        # att_b: (Np,) padded queries; att_full_b: (N,) candidates.
+        def one_tile(i):
+            q = jax.lax.dynamic_slice_in_dim(xyz_b, i * tile, tile, axis=0)
+            qa = jax.lax.dynamic_slice_in_dim(att_b, i * tile, tile, axis=0)
+            d2 = pairwise_sqdist(q, xyz_b[:n])               # (tile, N)
+            in_ball = d2 < r2
+            neigh = jnp.where(in_ball, att_full_b[None, :], -jnp.inf)
+            best = jnp.max(neigh, axis=-1)
+            # Survive iff at least tied for the ball max. The reference's
+            # argmax==0 test (self is always row position 0 in the sorted kNN
+            # row) means tied points BOTH survive — so >=, not >.
+            return qa >= best
+
+        is_max = jax.lax.map(one_tile, jnp.arange(n_tiles)).reshape(-1)[:n]
+        return is_max
+
+    is_max = jax.vmap(per_batch)(xyz_p, att_p, att)
+
+    thresh = jnp.max(att, axis=-1, keepdims=True) * min_response_ratio
+    keep = is_max & (att > thresh)
+    if valid_mask is not None:
+        keep = keep & valid_mask
+
+    score = jnp.where(keep, att, -jnp.inf)
+    top_att, top_idx = jax.lax.top_k(score, max_keypoints)   # sorted desc, ties→lower idx
+    num = jnp.sum(keep, axis=-1).astype(jnp.int32)
+    num = jnp.minimum(num, max_keypoints)
+
+    # Pad invalid slots with the strongest keypoint (slot 0), matching the
+    # reference's constant_values=max_indices[0] pad.
+    slot = jnp.arange(max_keypoints)
+    valid_slot = slot[None, :] < num[:, None]
+    top_idx = jnp.where(valid_slot, top_idx, top_idx[:, :1])
+    top_att = jnp.where(valid_slot, top_att, top_att[:, :1])
+
+    kp_xyz = jnp.take_along_axis(xyz, top_idx[..., None], axis=-2)
+    return kp_xyz, top_att, num
