@@ -1,0 +1,173 @@
+"""Train state, train step, and the epoch-loop driver.
+
+Rebuilds the reference training semantics (/root/reference/train.py,
+models/feat3dnet.py:227-256,359-375) functionally:
+
+  * triplet concat trick: anchors/positives/negatives stacked on the batch
+    axis, ONE shared forward (shared BN statistics across the three roles,
+    matching the reference graph), split in three for the loss;
+  * Adam lr=1e-5 (TF defaults b1=0.9 b2=0.999 eps=1e-8);
+  * scope freezing ('freeze_scopes') via an optax multi_transform mask over
+    top-level param-tree keys — the functional equivalent of the
+    reference's var_list filtering (feat3dnet.py:365-371);
+  * global_step lives in TrainState and resumes with the checkpoint.
+
+The hot loop is a single jit-compiled step; data-parallel sharding is
+layered on in parallel/data_parallel.py by donating/sharding the same step
+function over a mesh (XLA inserts the ICI all-reduce for the grads).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from feat3dnet_tpu.config import ModelConfig, TrainConfig
+from feat3dnet_tpu.models.feat3dnet import Feat3DNet
+from feat3dnet_tpu.train.loss import alignment_triplet_loss
+
+Array = jax.Array
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(
+    learning_rate: float = 1e-5,
+    freeze_scopes: Optional[Sequence[str]] = None,
+) -> optax.GradientTransformation:
+    """Adam with optional top-level-scope freezing.
+
+    freeze_scopes entries match top-level param collections ('detection',
+    'description'), mirroring the reference's tf scope prefixes.
+    """
+    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if not freeze_scopes:
+        return tx
+
+    def label(params):
+        return {
+            k: jax.tree.map(lambda _: "freeze" if any(k == s or k.startswith(s) for s in freeze_scopes) else "train", v)
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, label)
+
+
+def init_state(
+    model: Feat3DNet,
+    cfg: TrainConfig,
+    model_cfg: ModelConfig,
+    rng: Array,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    """Initialize params/batch_stats/optimizer for the triplet-training shape."""
+    dummy = jnp.zeros((3, cfg.num_points, 3), jnp.float32)
+    variables = model.init(rng, dummy, training=False)
+    tx = tx or make_optimizer(cfg.learning_rate, cfg.freeze_scopes)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+    return state, tx
+
+
+def make_train_step(
+    model: Feat3DNet,
+    tx: optax.GradientTransformation,
+    margin: float,
+    use_attention: bool,
+    grad_reduce_axis: Optional[str] = None,
+) -> Callable:
+    """Build the jit-able train step.
+
+    Args:
+      grad_reduce_axis: mesh axis name to psum grads over when the step runs
+        inside shard_map; None for single-device / jit-with-shardings (where
+        XLA inserts the collective itself).
+    """
+
+    def step(state: TrainState, anchors: Array, positives: Array, negatives: Array):
+        clouds = jnp.concatenate([anchors, positives, negatives], axis=0)[..., :3]
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                clouds, training=True, mutable=["batch_stats"],
+            )
+            a_feat, p_feat, n_feat = jnp.split(out.features, 3, axis=0)
+            a_att = jnp.split(out.attention, 3, axis=0)[0] if use_attention else None
+            loss, aux = alignment_triplet_loss(a_feat, p_feat, n_feat, a_att, margin)
+            return loss, (mutated.get("batch_stats", {}), aux)
+
+        (loss, (batch_stats, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if grad_reduce_axis is not None:
+            grads = jax.lax.pmean(grads, grad_reduce_axis)
+            loss = jax.lax.pmean(loss, grad_reduce_axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        metrics = {"loss": loss,
+                   "sum_positive": jnp.mean(aux["sum_positive"]),
+                   "sum_negative": jnp.mean(aux["sum_negative"])}
+        return new_state, metrics
+
+    return step
+
+
+class Trainer:
+    """Epoch-loop driver: data in, jit step, periodic checkpoint + validation.
+
+    The reference equivalent is train.py:93-184 (epoch/step loop, summary
+    every 20 steps, checkpoint every 500, FPR@95 validation every 250).
+    Wiring of data generator / validation / checkpointing is injected so the
+    loop itself stays testable.
+    """
+
+    def __init__(self, model: Feat3DNet, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 log_fn=None):
+        self.model = model
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.tx = make_optimizer(train_cfg.learning_rate, train_cfg.freeze_scopes)
+        self.step_fn = jax.jit(make_train_step(
+            model, self.tx, model_cfg.margin, model_cfg.attention), donate_argnums=0)
+        self.log = log_fn or (lambda *a, **k: None)
+
+    def init(self, rng):
+        state, _ = init_state(self.model, self.train_cfg, self.model_cfg, rng, tx=self.tx)
+        return state
+
+    def fit(self, state: TrainState, data_iter, num_steps: int,
+            hooks: Optional[Dict[int, Callable]] = None):
+        """Run `num_steps` steps; hooks maps period -> fn(state, metrics)."""
+        hooks = hooks or {}
+        metrics = None
+        for _ in range(num_steps):
+            batch = next(data_iter, None)
+            if batch is None:
+                break
+            anchors, positives, negatives = batch
+            state, metrics = self.step_fn(state, anchors, positives, negatives)
+            step = int(state.step)
+            for period, fn in hooks.items():
+                if step % period == 0:
+                    fn(state, metrics)
+        return state, metrics

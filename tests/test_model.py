@@ -1,0 +1,145 @@
+"""Model-level tests: shapes, invariants, and reference-behavior checks the
+original repo never had (SURVEY.md §4 calls out the gap)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from feat3dnet_tpu.config import ModelConfig
+from feat3dnet_tpu.models import Feat3DNet, get_network
+from feat3dnet_tpu.train.loss import alignment_triplet_loss
+
+
+# base_scale=10 keeps every cluster non-degenerate on unit-normal test
+# clouds. (A single-point cluster has all-zero centered coords, and with the
+# reference's zero bias init the descriptor tower is exactly 0 until
+# training moves the biases — faithful behavior, but noise for shape tests.)
+SMALL = ModelConfig(num_clusters=16, num_samples=8, feature_dim=16,
+                    base_scale=10.0,
+                    detector_mlp=(8, 16), detector_mlp2=(8,),
+                    descriptor_mlp=(8, 8))
+
+
+def _init_and_apply(cfg, cloud, **kw):
+    model = Feat3DNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), cloud, training=False)
+    out = model.apply(variables, cloud, training=False, **kw)
+    return model, variables, out
+
+
+def test_forward_shapes(rng):
+    cloud = jnp.asarray(rng.randn(2, 128, 6).astype(np.float32))
+    _, _, out = _init_and_apply(SMALL, cloud)
+    assert out.keypoints.shape == (2, 16, 3)
+    assert out.features.shape == (2, 16, 16)
+    assert out.attention.shape == (2, 16)
+    assert out.orientation.shape == (2, 16)
+    # descriptors are L2-normalized (reference feat3dnet.py:185)
+    norms = np.asarray(jnp.linalg.norm(out.features, axis=-1))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # attention is softplus > 0
+    assert np.all(np.asarray(out.attention) > 0)
+    # orientation in (-pi, pi]
+    ori = np.asarray(out.orientation)
+    assert np.all(ori >= -np.pi) and np.all(ori <= np.pi)
+
+
+def test_keypoint_feeding_bypasses_fps(rng):
+    """The reference's end_points['keypoints'] feed (train.py:295-302):
+    descriptors computed at caller-fixed centers."""
+    cloud = jnp.asarray(rng.randn(1, 128, 3).astype(np.float32))
+    keypoints = cloud[:, :5, :]
+    model, variables, _ = _init_and_apply(SMALL, cloud)
+    out = model.apply(variables, cloud, training=False, keypoints=keypoints)
+    np.testing.assert_allclose(np.asarray(out.keypoints), np.asarray(keypoints))
+    assert out.features.shape == (1, 5, 16)
+
+
+def test_all_points_mode(rng):
+    """num_clusters=-1: every point is a keypoint (inference.py:82)."""
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      detector_mlp=(8,), detector_mlp2=(8,), descriptor_mlp=(8, 8))
+    cloud = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+    _, _, out = _init_and_apply(cfg, cloud)
+    assert out.keypoints.shape == (1, 64, 3)
+    assert out.attention.shape == (1, 64)
+
+
+def test_orientation_canonicalization_algebra(rng):
+    """The z-rotation canonicalization (reference pointnet_common.py:112-119):
+    rotating the cloud by alpha about z and subtracting alpha from the
+    orientations must yield IDENTICAL grouped cluster coords — this is the
+    algebra that makes the learned descriptors rotation-invariant."""
+    from feat3dnet_tpu.models.feat3dnet import _group_normalized
+
+    cloud = rng.randn(1, 128, 3).astype(np.float32)
+    centers = cloud[:, :10, :].copy()
+    orient = rng.uniform(-np.pi, np.pi, size=(1, 10)).astype(np.float32)
+
+    g1, idx1, _ = _group_normalized(jnp.asarray(cloud), jnp.asarray(centers),
+                                    2.0, 8, None, orientations=jnp.asarray(orient))
+
+    alpha = 0.7
+    c, s = np.cos(alpha), np.sin(alpha)
+    rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], np.float32)  # p @ rot = R(+alpha) p
+    g2, idx2, _ = _group_normalized(jnp.asarray(cloud @ rot), jnp.asarray(centers @ rot),
+                                    2.0, 8, None,
+                                    orientations=jnp.asarray(orient - alpha))
+
+    # ball-query indices are rotation-invariant (distances preserved)
+    np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_loss_matches_manual(rng):
+    a = rng.randn(2, 5, 4).astype(np.float32)
+    p = rng.randn(2, 5, 4).astype(np.float32)
+    n = rng.randn(2, 5, 4).astype(np.float32)
+    att = rng.rand(2, 5).astype(np.float32) + 0.1
+    loss, aux = alignment_triplet_loss(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n),
+                                       jnp.asarray(att), margin=0.2)
+    # manual numpy
+    def pdist(x, y):
+        return np.sum((x[:, :, None] - y[:, None]) ** 2, axis=-1)
+    bp = pdist(a, p).min(2)
+    bn = pdist(a, n).min(2)
+    asm = att / att.sum(1, keepdims=True)
+    sp = (asm * bp).sum(1)
+    sn = (asm * bn).sum(1)
+    want = np.maximum(0.0, sp - sn + 0.2).mean()
+    np.testing.assert_allclose(float(loss), want, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(aux["sum_positive"]), sp, rtol=1e-4)
+
+
+def test_loss_no_attention(rng):
+    a = rng.randn(1, 4, 3).astype(np.float32)
+    p = a.copy()
+    n = a + 10.0
+    loss, _ = alignment_triplet_loss(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n),
+                                     None, margin=0.2)
+    assert float(loss) == 0.0  # perfect positives, far negatives → hinge at 0
+
+
+def test_net_factory():
+    assert get_network("3DFeatNet") is Feat3DNet
+    with pytest.raises(KeyError):
+        get_network("nope")
+
+
+def test_bn_train_eval_modes(rng):
+    """BN: training uses batch stats and mutates EMA; eval uses EMA
+    (reference layers.py:256-269 semantics)."""
+    cloud = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32) * 3.0)
+    model = Feat3DNet(SMALL)
+    variables = model.init(jax.random.PRNGKey(0), cloud, training=False)
+    out_eval = model.apply(variables, cloud, training=False)
+    out_train, mutated = model.apply(variables, cloud, training=True,
+                                     mutable=["batch_stats"])
+    # running stats must have moved
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    moved = any(not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after))
+    assert moved
+    # and train-mode outputs differ from eval-mode (fresh EMA = init values)
+    assert not np.allclose(np.asarray(out_eval.features), np.asarray(out_train.features))

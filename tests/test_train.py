@@ -1,0 +1,67 @@
+"""Training-step tests: loss decreases, freezing works, state round-trips."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from feat3dnet_tpu.config import ModelConfig, TrainConfig
+from feat3dnet_tpu.models import Feat3DNet
+from feat3dnet_tpu.train.trainer import init_state, make_optimizer, make_train_step
+
+CFG = ModelConfig(num_clusters=8, num_samples=8, feature_dim=16, base_scale=10.0,
+                  detector_mlp=(8,), detector_mlp2=(8,), descriptor_mlp=(8, 8))
+TCFG = TrainConfig(batch_size=2, num_points=64, learning_rate=1e-3)
+
+
+def _triplet_batch(rng, b=2, n=64):
+    # hard negatives (small perturbations of the anchor) so the hinge is
+    # active at init and training has something to optimize.
+    anchors = rng.randn(b, n, 3).astype(np.float32)
+    positives = anchors + 0.01 * rng.randn(b, n, 3).astype(np.float32)
+    negatives = anchors + 0.2 * rng.randn(b, n, 3).astype(np.float32)
+    return tuple(jnp.asarray(x) for x in (anchors, positives, negatives))
+
+
+def test_train_step_decreases_loss(rng):
+    model = Feat3DNet(CFG)
+    state, tx = init_state(model, TCFG, CFG, jax.random.PRNGKey(0))
+    # margin=1.0 keeps the hinge active at init (random-init descriptors
+    # already separate easy negatives beyond the paper margin of 0.2).
+    step = jax.jit(make_train_step(model, tx, 1.0, CFG.attention))
+    batch = _triplet_batch(rng)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, *batch)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    assert losses[-1] < losses[0], losses
+
+
+def test_freeze_scopes(rng):
+    model = Feat3DNet(CFG)
+    tx = make_optimizer(1e-3, freeze_scopes=["detection"])
+    state, _ = init_state(model, TCFG, CFG, jax.random.PRNGKey(0), tx=tx)
+    step = jax.jit(make_train_step(model, tx, 1.0, CFG.attention))  # active hinge
+    before_det = jax.tree.map(np.asarray, state.params["detection"])
+    before_desc = jax.tree.leaves(jax.tree.map(np.asarray, state.params["description"]))
+    state, _ = step(state, *_triplet_batch(rng))
+    after_det = state.params["detection"]
+    after_desc = jax.tree.leaves(state.params["description"])
+    # frozen scope unchanged
+    for b, a in zip(jax.tree.leaves(before_det), jax.tree.leaves(after_det)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    # unfrozen scope moved
+    assert any(not np.allclose(b, np.asarray(a)) for b, a in zip(before_desc, after_desc))
+
+
+def test_stage1_config_noattention_noregress(rng):
+    """Stage 1 of train.sh: --noattention --noregress (unweighted loss,
+    no orientation canonicalization)."""
+    cfg = ModelConfig(num_clusters=8, num_samples=8, feature_dim=16, base_scale=10.0,
+                      attention=False, regress_orientation=False,
+                      detector_mlp=(8,), detector_mlp2=(8,), descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    state, tx = init_state(model, TCFG, cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, tx, cfg.margin, cfg.attention))
+    state, metrics = step(state, *_triplet_batch(rng))
+    assert np.isfinite(float(metrics["loss"]))
