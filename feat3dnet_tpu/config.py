@@ -87,8 +87,9 @@ class InferenceConfig:
     max_keypoints: int = 1024
     # Query-points processed per device pass. The reference chunks attention
     # at MAX_POINTS=30000 for GPU memory (inference.py:22); on TPU this is a
-    # static bucket size for the keypoint axis.
-    keypoint_chunk: int = 32768
+    # static bucket size for the keypoint axis — it bounds the
+    # (chunk × n_points) distance-matrix working set in HBM.
+    keypoint_chunk: int = 8192
     num_points: int = -1              # -1 = no downsample
     randomize_points: bool = False
 

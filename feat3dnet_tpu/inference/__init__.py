@@ -1,0 +1,4 @@
+"""End-to-end keypoint + descriptor extraction (reference inference.py)."""
+from feat3dnet_tpu.inference.pipeline import InferencePipeline, InferenceResult
+
+__all__ = ["InferencePipeline", "InferenceResult"]

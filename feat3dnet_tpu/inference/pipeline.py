@@ -1,0 +1,171 @@
+"""Two-pass inference: attention everywhere → NMS → descriptors at keypoints.
+
+Reference flow (/root/reference/inference.py:66-180):
+  pass 1 — attention for EVERY point, computed in 30k-point chunks through
+  a feed of end_points['keypoints'] (:121-137); host sklearn ball-tree NMS
+  (:226-261); pass 2 — descriptors at the NMS keypoints (:169-171); write
+  [xyz | descriptor] float32 rows (:174-177).
+
+TPU-native redesign:
+  * static shape buckets: the cloud is padded (with a validity mask) to the
+    smallest POINT_BUCKETS size; jitted executables are cached per bucket;
+  * the 30k-point chunk loop becomes a lax.map over fixed-size keypoint
+    chunks inside ONE jit — no per-chunk host round-trips;
+  * NMS runs on-device (ops/nms.py) — no sklearn, no host sync between the
+    passes; the only host↔device traffic is cloud in, results out.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feat3dnet_tpu.config import InferenceConfig, ModelConfig, bucket_for
+from feat3dnet_tpu.data.io import load_point_cloud, save_descriptors
+from feat3dnet_tpu.models.feat3dnet import Feat3DNet
+from feat3dnet_tpu.ops import nms_keypoints
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    keypoints: np.ndarray      # (K, 3)
+    features: np.ndarray       # (K, D)
+    attention: np.ndarray      # (K,)
+    num_keypoints: int
+
+
+class InferencePipeline:
+    """Caches per-bucket jitted executables for the two-pass extraction."""
+
+    def __init__(self, model: Feat3DNet, variables, model_cfg: ModelConfig,
+                 infer_cfg: InferenceConfig = InferenceConfig()):
+        self.model = model
+        self.variables = variables
+        self.mcfg = model_cfg
+        self.icfg = infer_cfg
+        self._attention_fns: Dict[int, callable] = {}
+        self._describe_fns: Dict[Tuple[int, int], callable] = {}
+
+    # -- jit builders -----------------------------------------------------
+
+    def _attention_fn(self, n_bucket: int):
+        """attention+xyz for every point of a padded (1, n_bucket) cloud."""
+        if n_bucket in self._attention_fns:
+            return self._attention_fns[n_bucket]
+
+        chunk = min(self.icfg.keypoint_chunk, n_bucket)
+        n_chunks = -(-n_bucket // chunk)
+
+        @jax.jit
+        def fn(variables, cloud, valid_mask):
+            xyz = cloud[..., :3]
+
+            def one_chunk(start):
+                kp = jax.lax.dynamic_slice_in_dim(xyz, start, chunk, axis=1)
+                out = self.model.apply(variables, cloud, training=False,
+                                       keypoints=kp, valid_mask=valid_mask)
+                return out.end_points["attention"][0], out.end_points["orientation"][0]
+
+            starts = jnp.arange(n_chunks) * chunk
+            att, ori = jax.lax.map(one_chunk, starts)
+            return att.reshape(-1)[:n_bucket], ori.reshape(-1)[:n_bucket]
+
+        self._attention_fns[n_bucket] = fn
+        return fn
+
+    def _describe_fn(self, n_bucket: int, n_kp: int):
+        """descriptors at (1, n_kp) keypoints of a padded cloud."""
+        key = (n_bucket, n_kp)
+        if key in self._describe_fns:
+            return self._describe_fns[key]
+
+        @jax.jit
+        def fn(variables, cloud, valid_mask, keypoints):
+            out = self.model.apply(variables, cloud, training=False,
+                                   keypoints=keypoints, valid_mask=valid_mask)
+            return out.features[0], out.end_points["attention"][0]
+
+        self._describe_fns[key] = fn
+        return fn
+
+    # -- public API -------------------------------------------------------
+
+    def extract(self, cloud: np.ndarray,
+                keypoints: Optional[np.ndarray] = None,
+                rng: Optional[np.random.RandomState] = None) -> InferenceResult:
+        """Extract keypoints + descriptors from one (N, >=3) cloud.
+
+        Args:
+          cloud: host array; padded internally to a static bucket.
+          keypoints: optional (K, 3) externally-supplied keypoints (the
+            reference's --use_keypoints_from path, inference.py:152-166);
+            skips detection + NMS.
+          rng: if given, randomly permute points first (the reference's
+            --randomize_points, which exists because ball-query results are
+            point-order dependent, inference.py:105-111).
+        """
+        icfg = self.icfg
+        if rng is not None:
+            cloud = cloud[rng.permutation(cloud.shape[0])]
+        if icfg.num_points > 0:
+            cloud = cloud[:icfg.num_points]
+
+        n = cloud.shape[0]
+        n_bucket = bucket_for(n)
+        padded = np.zeros((1, n_bucket, 3), np.float32)
+        padded[0, :n] = cloud[:, :3]
+        valid = np.zeros((1, n_bucket), bool)
+        valid[0, :n] = True
+        padded_j = jnp.asarray(padded)
+        valid_j = jnp.asarray(valid)
+
+        if keypoints is None:
+            att, _ = self._attention_fn(n_bucket)(self.variables, padded_j, valid_j)
+            kp, kp_att, num = nms_keypoints(
+                padded_j, att[None, :], icfg.nms_radius, icfg.max_keypoints,
+                icfg.min_response_ratio, valid_mask=valid_j)
+            kp_np = kp
+            num_kp = int(num[0])
+            n_kp = icfg.max_keypoints
+        else:
+            k = keypoints.shape[0]
+            n_kp = k
+            kp_np = jnp.asarray(keypoints[None, :, :3].astype(np.float32))
+            num_kp = k
+
+        feats, att_at_kp = self._describe_fn(n_bucket, n_kp)(
+            self.variables, padded_j, valid_j, kp_np)
+
+        return InferenceResult(
+            keypoints=np.asarray(kp_np[0][:num_kp]),
+            features=np.asarray(feats[:num_kp]),
+            attention=np.asarray(att_at_kp[:num_kp]),
+            num_keypoints=num_kp,
+        )
+
+    def process_directory(self, data_dir: str, output_dir: str,
+                          data_dim: int = 6,
+                          keypoints_dir: Optional[str] = None,
+                          log=print) -> int:
+        """Directory driver (reference compute_descriptors, inference.py:66-180):
+        extract for every .bin in data_dir, write [xyz | desc] .bin outputs."""
+        os.makedirs(output_dir, exist_ok=True)
+        bins = sorted(f for f in os.listdir(data_dir) if f.endswith(".bin"))
+        rng = np.random.RandomState(0) if self.icfg.randomize_points else None
+        for i, fname in enumerate(bins):
+            cloud = load_point_cloud(os.path.join(data_dir, fname), num_cols=data_dim)
+            ext_kp = None
+            if keypoints_dir is not None:
+                ext_kp = load_point_cloud(
+                    os.path.join(keypoints_dir, fname[:-4] + "_kp.bin"), num_cols=3)
+            res = self.extract(cloud, keypoints=ext_kp, rng=rng)
+            save_descriptors(os.path.join(output_dir, fname), res.keypoints, res.features)
+            log(f"Processed {i + 1}/{len(bins)}: {fname} ({res.num_keypoints} keypoints)")
+        return len(bins)

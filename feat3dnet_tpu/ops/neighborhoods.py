@@ -100,16 +100,20 @@ def ball_query(
 
     # k of the s-th in-ball point = first k with count == s+1. `count` is
     # sorted along N, so this is a binary search, vectorized over (B, M, s).
+    # Hand-rolled (log2 N static take_along_axis steps) instead of
+    # jnp.searchsorted: the vmapped searchsorted lowers to a serial
+    # while-loop per row on TPU; this form is 14 fused gather passes.
     targets = jnp.arange(1, nsample + 1, dtype=jnp.int32)
-
-    def _search(cnt_row: Array) -> Array:                   # (N,) -> (nsample,)
-        return jnp.searchsorted(cnt_row, targets, side="left").astype(jnp.int32)
-
-    search = _search
-    for _ in range(count.ndim - 1):
-        search = jax.vmap(search)
-    idx = search(count)                                     # (B, M, nsample)
-    idx = jnp.minimum(idx, n - 1)                           # slots past cnt hit N; clipped, then padded below
+    shape = count.shape[:-1] + (nsample,)
+    lo = jnp.zeros(shape, jnp.int32)
+    hi = jnp.full(shape, n, jnp.int32)
+    for _ in range(n.bit_length()):  # search space is [0, n] — n+1 values
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(count, jnp.minimum(mid, n - 1), axis=-1)
+        ge = v >= targets
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    idx = jnp.minimum(lo, n - 1)                            # slots past cnt hit N; clipped, then padded below
 
     # Nearest-point fallback for empty balls (true per-center argmin; the
     # reference kernel's cross-cluster bug is documented above).

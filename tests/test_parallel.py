@@ -1,0 +1,73 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: DP train step
+equivalence with single-device, keypoint-sharded attention equivalence."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from feat3dnet_tpu.config import ModelConfig, TrainConfig
+from feat3dnet_tpu.models import Feat3DNet
+from feat3dnet_tpu.parallel import (
+    keypoint_sharded_attention, make_dp_train_step, make_mesh, shard_batch,
+)
+from feat3dnet_tpu.train.trainer import init_state, make_train_step
+
+CFG = ModelConfig(num_clusters=8, num_samples=8, feature_dim=16, base_scale=10.0,
+                  detector_mlp=(8,), detector_mlp2=(8,), descriptor_mlp=(8, 8))
+TCFG = TrainConfig(batch_size=8, num_points=64)
+
+
+def _batch(rng, b=8, n=64):
+    a = rng.randn(b, n, 3).astype(np.float32)
+    p = a + 0.01 * rng.randn(b, n, 3).astype(np.float32)
+    ng = a + 0.2 * rng.randn(b, n, 3).astype(np.float32)
+    return tuple(jnp.asarray(x) for x in (a, p, ng))
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dp_step_matches_single_device(rng):
+    model = Feat3DNet(CFG)
+    state, tx = init_state(model, TCFG, CFG, jax.random.PRNGKey(0))
+    batch = _batch(rng)
+
+    single = jax.jit(make_train_step(model, tx, 1.0, CFG.attention))
+    s1, m1 = single(state, *batch)
+
+    mesh = make_mesh()
+    dp = make_dp_train_step(model, tx, 1.0, CFG.attention, mesh, donate_state=False)
+    sharded = shard_batch(batch, mesh)
+    s2, m2 = dp(state, *sharded)
+
+    # GSPMD partitioning must be arithmetically equivalent to the
+    # single-device program (same global BN moments, same grad all-reduce).
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5, atol=1e-6)
+    # Post-Adam params: elements whose true gradient is ~0 (dead relu paths)
+    # can flip sign under the partitioned f32 reduction order, and Adam's
+    # normalized update turns any sign flip into a ±lr step — so compare
+    # with atol of a few lr, plus exact batch-stats agreement.
+    lr = TCFG.learning_rate
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=3 * lr)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_keypoint_sharded_attention_matches_unsharded(rng):
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16, base_scale=2.0,
+                      detector_mlp=(8,), detector_mlp2=(8,), descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    cloud = jnp.asarray((rng.rand(1, 128, 3).astype(np.float32) - 0.5) * 8.0)
+    valid = jnp.ones((1, 128), bool)
+    variables = model.init(jax.random.PRNGKey(0), cloud, training=False)
+
+    out = model.apply(variables, cloud, training=False, keypoints=cloud, valid_mask=valid)
+    want_att = np.asarray(out.end_points["attention"][0])
+
+    mesh = make_mesh()
+    fn = keypoint_sharded_attention(model, mesh)
+    att, ori = fn(variables, cloud, valid)
+    np.testing.assert_allclose(np.asarray(att), want_att, rtol=1e-4, atol=1e-5)
