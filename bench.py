@@ -1,0 +1,103 @@
+"""Headline benchmark: descriptors/sec/chip on Oxford 64-point clusters.
+
+BASELINE.md north star: >=10x the TF1-GPU descriptor throughput on the
+Oxford 30k-cluster-pair benchmark (the reference computes descriptors via
+the validation path, train.py:260-315: 512 clusters packed per sess.run).
+
+Workload: real cluster geometry — 64-point radius-2.0 neighborhoods
+extracted around FPS keypoints of example_data/oxford_270.bin — batched to
+30k clusters per scan, full model forward (detector orientation + 32-D
+descriptor), float32. Steps are chained inside one jit (lax.scan with a
+per-step input perturbation) so the measurement is pure device throughput,
+not host/tunnel round-trips.
+
+vs_baseline: the reference publishes NO number (BASELINE.json "published"
+is empty) and TF1 cannot run in this environment, so the denominator is a
+DOCUMENTED ESTIMATE of the TF1-GPU validation path: 512 descriptors per
+sess.run at ~5 steps/s on the reference's GTX-class hardware ≈ 2,500
+descriptors/s. Replace with a measured value when a TF1 environment exists.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from feat3dnet_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+TF1_BASELINE_DESC_PER_SEC = 2500.0  # documented estimate, see module docstring
+
+BATCH = 7500          # clusters per model apply
+SCAN_STEPS = 4        # applies chained per executable call -> 30k clusters
+REPEATS = 8           # timed calls
+
+
+def build_cluster_batch():
+    """Real 64-pt cluster geometry from the Oxford example cloud."""
+    from feat3dnet_tpu.data.io import load_point_cloud
+    from feat3dnet_tpu.ops import ball_query, farthest_point_sample, gather_points, group_points
+
+    cloud = load_point_cloud("/root/reference/example_data/oxford_270.bin", num_cols=6)
+    xyz = jnp.asarray(cloud[None, :, :3])
+    idx = farthest_point_sample(xyz, 512)
+    centers = gather_points(xyz, idx)
+    nidx, _ = ball_query(xyz, centers, 2.0, 64)
+    clusters = group_points(xyz, nidx) - centers[:, :, None, :]   # (1, 512, 64, 3)
+    clusters = np.asarray(clusters[0])                            # (512, 64, 3)
+    reps = -(-BATCH // 512)
+    tiled = np.tile(clusters, (reps, 1, 1))[:BATCH]               # (BATCH, 64, 3)
+    return jnp.asarray(tiled)
+
+
+def main():
+    from feat3dnet_tpu.config import ModelConfig
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cfg = ModelConfig()  # paper config, float32
+    model = Feat3DNet(cfg)
+
+    clusters = build_cluster_batch()                 # (BATCH, 64, 3) clouds
+    keypoints = jnp.zeros((BATCH, 1, 3), jnp.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), clusters[:8], training=False,
+                           keypoints=keypoints[:8])
+
+    def describe(variables, clusters):
+        out = model.apply(variables, clusters, training=False, keypoints=keypoints)
+        return out.features                          # (BATCH, 1, 32)
+
+    @jax.jit
+    def bench_step(variables, clusters, seed):
+        def body(carry, eps):
+            feats = describe(variables, clusters * (1.0 + eps))
+            return carry + jnp.sum(feats), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              seed + 1e-6 * jnp.arange(SCAN_STEPS, dtype=jnp.float32))
+        return acc
+
+    # warm-up / compile
+    float(bench_step(variables, clusters, jnp.float32(0.0)))
+
+    times = []
+    for r in range(REPEATS):
+        t0 = time.time()
+        float(bench_step(variables, clusters, jnp.float32(1e-5 * (r + 1))))
+        times.append(time.time() - t0)
+
+    per_call = float(np.median(times))
+    desc_per_sec = BATCH * SCAN_STEPS / per_call
+    print(json.dumps({
+        "metric": "descriptors_per_sec_per_chip",
+        "value": round(desc_per_sec, 1),
+        "unit": "descriptors/s",
+        "vs_baseline": round(desc_per_sec / TF1_BASELINE_DESC_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
