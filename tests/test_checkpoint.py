@@ -1,0 +1,140 @@
+"""Checkpoint tests: Orbax round-trip + scope exclusion; TF1 name mapping."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from feat3dnet_tpu.config import ModelConfig, TrainConfig
+from feat3dnet_tpu.models import Feat3DNet
+from feat3dnet_tpu.train.trainer import init_state
+from feat3dnet_tpu.utils.checkpoint import CheckpointManager
+from feat3dnet_tpu.utils.tf1_loader import restore_tf1_variables
+
+CFG = ModelConfig(num_clusters=8, num_samples=8, feature_dim=16, base_scale=10.0,
+                  detector_mlp=(8,), detector_mlp2=(8,), descriptor_mlp=(8, 8))
+
+
+def _state():
+    model = Feat3DNet(CFG)
+    state, _ = init_state(model, TrainConfig(num_points=64), CFG, jax.random.PRNGKey(0))
+    return state
+
+
+def _perturb(state, delta=1.0):
+    return state.replace(
+        step=state.step + 41,
+        params=jax.tree.map(lambda x: x + delta, state.params))
+
+
+def test_orbax_roundtrip(tmp_path):
+    state = _state()
+    saved = _perturb(state)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(saved)
+    restored = mgr.restore(state)
+    assert int(restored.step) == 41
+    for a, b in zip(jax.tree.leaves(saved.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_restore_exclude_scope(tmp_path):
+    """Stage-2 recipe: restore everything except 'detection'."""
+    init = _state()
+    saved = _perturb(init)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(saved)
+    restored = mgr.restore(init, restore_exclude=["detection"])
+    # detection = fresh init; description = checkpoint values
+    for a, b in zip(jax.tree.leaves(init.params["detection"]),
+                    jax.tree.leaves(restored.params["detection"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(saved.params["description"]),
+                    jax.tree.leaves(restored.params["description"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _tf1_arrays_for(variables):
+    """Synthesize a TF1-named array dict covering the full variable tree."""
+    arrays = {}
+
+    def add_convbn(tf_scope, tree_params, tree_stats):
+        ci, co = np.shape(tree_params["conv2d"]["kernel"])
+        arrays[f"{tf_scope}/conv2d/weights"] = np.random.randn(1, 1, ci, co).astype(np.float32)
+        arrays[f"{tf_scope}/conv2d/biases"] = np.random.randn(co).astype(np.float32)
+        arrays[f"{tf_scope}/bn/beta"] = np.random.randn(co).astype(np.float32)
+        arrays[f"{tf_scope}/bn/gamma"] = np.random.randn(co).astype(np.float32)
+        arrays[f"{tf_scope}/bn/moments/Squeeze/ExponentialMovingAverage"] = \
+            np.random.randn(co).astype(np.float32)
+        arrays[f"{tf_scope}/bn/moments/Squeeze_1/ExponentialMovingAverage"] = \
+            np.abs(np.random.randn(co)).astype(np.float32)
+
+    p = variables["params"]
+    s = variables["batch_stats"]
+    for i in range(len(CFG.detector_mlp)):
+        add_convbn(f"detection/conv{i}", p["detection"][f"conv{i}"], s)
+    for i in range(len(CFG.detector_mlp2)):
+        add_convbn(f"detection/conv_post_{i}", p["detection"][f"conv_post_{i}"], s)
+    for head in ("attention", "orientation"):
+        ci, co = np.shape(p["detection"][head]["kernel"])
+        arrays[f"detection/{head}/conv2d/weights"] = np.random.randn(1, 1, ci, co).astype(np.float32)
+        arrays[f"detection/{head}/conv2d/biases"] = np.random.randn(co).astype(np.float32)
+    for i in range(len(CFG.descriptor_mlp)):
+        add_convbn(f"description/layer1/conv{i}", p["description"][f"conv{i}"], s)
+    add_convbn("description/layer1/conv_mid_0", p["description"]["conv_mid_0"], s)
+    add_convbn("description/layer1/conv_post_0", p["description"]["conv_post_0"], s)
+    # noise that must be skipped
+    arrays["global_step"] = np.int64(7)
+    arrays["detection/conv0/conv2d/weights/Adam"] = np.zeros((1, 1, 3, 8), np.float32)
+    arrays["beta1_power"] = np.float32(0.9)
+    return arrays
+
+
+def test_tf1_name_mapping_full_coverage():
+    model = Feat3DNet(CFG)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), training=False)
+    np.random.seed(0)
+    arrays = _tf1_arrays_for(variables)
+    new_vars, restored, skipped = restore_tf1_variables(variables, arrays)
+
+    assert "global_step" in skipped
+    assert any("Adam" in s for s in skipped)
+    # every conv kernel got the checkpoint value
+    w = arrays["detection/conv0/conv2d/weights"][0, 0]
+    np.testing.assert_array_equal(new_vars["params"]["detection"]["conv0"]["conv2d"]["kernel"], w)
+    # descriptor 'layer1' flattening worked
+    w = arrays["description/layer1/conv_mid_0/conv2d/weights"][0, 0]
+    np.testing.assert_array_equal(new_vars["params"]["description"]["conv_mid_0"]["conv2d"]["kernel"], w)
+    # EMA stats landed in batch_stats
+    m = arrays["detection/conv0/bn/moments/Squeeze/ExponentialMovingAverage"]
+    np.testing.assert_array_equal(new_vars["batch_stats"]["detection"]["conv0"]["bn"]["mean"], m)
+    v = arrays["detection/conv0/bn/moments/Squeeze_1/ExponentialMovingAverage"]
+    np.testing.assert_array_equal(new_vars["batch_stats"]["detection"]["conv0"]["bn"]["var"], v)
+    # heads mapped without inner conv2d level
+    w = arrays["detection/attention/conv2d/weights"][0, 0]
+    np.testing.assert_array_equal(new_vars["params"]["detection"]["attention"]["kernel"], w)
+    # the model must run with the restored variables
+    model.apply(new_vars, jnp.zeros((1, 64, 3)), training=False)
+
+
+def test_tf1_restore_exclude():
+    model = Feat3DNet(CFG)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), training=False)
+    np.random.seed(0)
+    arrays = _tf1_arrays_for(variables)
+    new_vars, restored, skipped = restore_tf1_variables(
+        variables, arrays, restore_exclude=["detection"])
+    orig = np.asarray(variables["params"]["detection"]["conv0"]["conv2d"]["kernel"])
+    np.testing.assert_array_equal(
+        new_vars["params"]["detection"]["conv0"]["conv2d"]["kernel"], orig)
+    w = arrays["description/layer1/conv0/conv2d/weights"][0, 0]
+    np.testing.assert_array_equal(
+        new_vars["params"]["description"]["conv0"]["conv2d"]["kernel"], w)
+
+
+def test_tf1_shape_mismatch_raises():
+    model = Feat3DNet(CFG)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), training=False)
+    arrays = {"detection/conv0/conv2d/weights": np.zeros((1, 1, 5, 5), np.float32)}
+    with pytest.raises(ValueError):
+        restore_tf1_variables(variables, arrays)
