@@ -1,0 +1,174 @@
+"""Training CLI.
+
+Flag surface mirrors the reference driver (/root/reference/train.py:20-67)
+so the train.sh two-stage recipe ports verbatim:
+
+  python -m feat3dnet_tpu.cli.train --data_dir data/oxford \\
+      --noattention --noregress --num_epochs 2 \\
+      --augmentation Jitter RotateSmall Shift --log_dir ckpt_stage1
+
+  python -m feat3dnet_tpu.cli.train --data_dir data/oxford \\
+      --checkpoint ckpt_stage1 --restore_exclude detection \\
+      --augmentation Jitter RotateSmall Shift Rotate1D --num_epochs 70
+
+Differences from the reference, by design:
+  * data-parallel over all local devices when --num_devices > 1;
+  * augmentation runs on-device (fused), not in the host loop;
+  * Orbax checkpoints instead of tf.train.Saver (TF1 npz checkpoints can be
+    imported with --tf1_checkpoint).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train 3DFeat-Net (TPU)")
+    p.add_argument("--data_dim", type=int, default=6)
+    p.add_argument("--data_dir", type=str, default="data/oxford",
+                   help='Should contain "train" and "clusters" folders')
+    p.add_argument("--model", type=str, default="3DFeatNet")
+    p.add_argument("--noregress", action="store_true")
+    p.add_argument("--noattention", action="store_true")
+    p.add_argument("--margin", type=float, default=0.2)
+    p.add_argument("--feature_dim", type=int, default=32, choices=[16, 32, 64, 128])
+    p.add_argument("--num_points", type=int, default=4096)
+    p.add_argument("--base_scale", type=float, default=2.0)
+    p.add_argument("--num_samples", type=int, default=64)
+    p.add_argument("--num_clusters", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--augmentation", type=str, nargs="+",
+                   default=["Jitter", "RotateSmall", "Shift", "Rotate1D"],
+                   choices=["Jitter", "RotateSmall", "Rotate1D", "Scale", "Shift"])
+    p.add_argument("--log_dir", type=str, default="./ckpt")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Orbax checkpoint dir to restore")
+    p.add_argument("--tf1_checkpoint", type=str, default=None,
+                   help="npz export of a reference TF1 checkpoint")
+    p.add_argument("--restore_exclude", type=str, nargs="+", default=None)
+    p.add_argument("--freeze_scopes", type=str, nargs="+", default=None)
+    p.add_argument("--num_epochs", type=int, default=1000)
+    p.add_argument("--summary_every_n_steps", type=int, default=20)
+    p.add_argument("--validate_every_n_steps", type=int, default=250)
+    p.add_argument("--checkpoint_every_n_steps", type=int, default=500)
+    p.add_argument("--num_devices", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from feat3dnet_tpu.config import ModelConfig, TrainConfig
+    from feat3dnet_tpu.data import TripletDataset, augment_clouds, prefetch
+    from feat3dnet_tpu.data.augment import resolve_augmentations
+    from feat3dnet_tpu.eval import ClusterPairValidator
+    from feat3dnet_tpu.models import get_network
+    from feat3dnet_tpu.parallel import make_dp_train_step, make_mesh, shard_batch
+    from feat3dnet_tpu.train.trainer import init_state, make_optimizer, make_train_step
+    from feat3dnet_tpu.utils import enable_compilation_cache
+    from feat3dnet_tpu.utils.checkpoint import CheckpointManager
+    from feat3dnet_tpu.utils.logging import setup_logging
+    from feat3dnet_tpu.utils.metrics_writer import MetricsWriter
+
+    enable_compilation_cache()
+    logger = setup_logging(os.path.join(args.log_dir, "log.txt"))
+    logger.info("Arguments: %s", vars(args))
+
+    mcfg = ModelConfig(
+        num_clusters=args.num_clusters, base_scale=args.base_scale,
+        num_samples=args.num_samples, feature_dim=args.feature_dim,
+        attention=not args.noattention, regress_orientation=not args.noregress,
+        margin=args.margin,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32)
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, num_points=args.num_points,
+        learning_rate=args.learning_rate, num_epochs=args.num_epochs,
+        augmentations=tuple(args.augmentation),
+        freeze_scopes=tuple(args.freeze_scopes) if args.freeze_scopes else None,
+        seed=args.seed)
+
+    model_cls = get_network(args.model)
+    model = model_cls(mcfg)
+    tx = make_optimizer(tcfg.learning_rate, tcfg.freeze_scopes)
+    state, _ = init_state(model, tcfg, mcfg, jax.random.PRNGKey(args.seed), tx=tx)
+
+    ckpt = CheckpointManager(os.path.join(args.log_dir, "ckpt"))
+    if args.tf1_checkpoint:
+        from feat3dnet_tpu.utils.tf1_loader import load_tf1_arrays, restore_tf1_variables
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        new_vars, restored, skipped = restore_tf1_variables(
+            variables, load_tf1_arrays(args.tf1_checkpoint),
+            restore_exclude=args.restore_exclude, ignore_missing=True)
+        state = state.replace(params=new_vars["params"],
+                              batch_stats=new_vars["batch_stats"])
+        logger.info("TF1 restore: %d restored, %d skipped", len(restored), len(skipped))
+    elif args.checkpoint:
+        src = CheckpointManager(os.path.join(args.checkpoint, "ckpt")
+                                if os.path.isdir(os.path.join(args.checkpoint, "ckpt"))
+                                else args.checkpoint)
+        state = src.restore(state, restore_exclude=args.restore_exclude)
+        logger.info("Restored checkpoint at step %d", int(state.step))
+
+    if args.num_devices > 1:
+        mesh = make_mesh(args.num_devices)
+        step_fn = make_dp_train_step(model, tx, mcfg.margin, mcfg.attention, mesh)
+        place = lambda b: shard_batch(b, mesh)
+    else:
+        step_fn = jax.jit(make_train_step(model, tx, mcfg.margin, mcfg.attention),
+                          donate_argnums=0)
+        place = lambda b: b
+
+    dataset = TripletDataset(os.path.join(args.data_dir, "train/train.txt"),
+                             num_cols=args.data_dim, seed=args.seed)
+    logger.info("Loaded train metadata: %d instances", dataset.size)
+    aug_names = tuple(resolve_augmentations(tcfg.augmentations, tcfg.upright_axis))
+
+    val_folder = os.path.join(args.data_dir, "clusters")
+    validator = None
+    if os.path.exists(os.path.join(val_folder, "filenames.txt")):
+        validator = ClusterPairValidator(model, mcfg, val_folder, args.data_dim)
+
+    writer = MetricsWriter(os.path.join(args.log_dir, "metrics.jsonl"))
+    aug_key = jax.random.PRNGKey(args.seed + 1)
+
+    for epoch in range(args.num_epochs):
+        logger.info("Starting epoch %d", epoch)
+        for batch in prefetch(dataset.epoch_triplets(
+                epoch, tcfg.batch_size, tcfg.num_points, tcfg.crop_radius)):
+            a, p, n = (jnp.asarray(x[..., :3]) for x in batch)
+            if aug_names:
+                aug_key, k1, k2, k3 = jax.random.split(aug_key, 4)
+                a = augment_clouds(k1, a, aug_names)
+                p = augment_clouds(k2, p, aug_names)
+                n = augment_clouds(k3, n, aug_names)
+            state, metrics = step_fn(state, *place((a, p, n)))
+            step = int(state.step)
+            if step % args.summary_every_n_steps == 0:
+                loss = float(metrics["loss"])
+                writer.write(step=step, loss=loss)
+                print(f"\rStep {step}, Loss: {loss:.5f}", end="", flush=True)
+            if step % args.checkpoint_every_n_steps == 0:
+                ckpt.save(state)
+            if validator is not None and (step % args.validate_every_n_steps == 0 or step == 1):
+                fpr = validator({"params": state.params, "batch_stats": state.batch_stats})
+                writer.write(step=step, fp_rate=fpr)
+                logger.info("Step %d. FP Rate: %f", step, fpr)
+        print()
+    ckpt.save(state)
+    return state
+
+
+if __name__ == "__main__":
+    main()
