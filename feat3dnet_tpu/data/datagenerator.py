@@ -62,13 +62,19 @@ class TripletDataset:
     """Seeded triplet sampler over a train.txt metadata file."""
 
     def __init__(self, metadata_file: str, num_cols: int = 6, seed: int = 0,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 use_native: str = "auto"):
         self.folder = os.path.split(metadata_file)[0]
         self.meta = parse_metadata(metadata_file)
         self.num_cols = num_cols
         self.seed = seed
         self.shard_index = shard_index
         self.num_shards = num_shards
+        if use_native == "auto":
+            from feat3dnet_tpu.utils.native import native_available
+            self.use_native = native_available()
+        else:
+            self.use_native = use_native in (True, "true", "yes")
         self.size = len(self.meta)
         # Precompute each anchor's valid-negative pool (complement of
         # positives ∪ nonnegatives) for rejection-free sampling.
@@ -109,6 +115,22 @@ class TripletDataset:
         train.py:152-153)."""
         order = self.epoch_order(epoch)
         rng = np.random.RandomState((self.seed, epoch, self.shard_index, 0xA5))
+
+        if self.use_native:
+            from feat3dnet_tpu.utils.native import load_processed_batch
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                ids = []
+                for anchor in order[start:start + batch_size]:
+                    pos, neg = self.sample_triplet_indices(int(anchor), rng)
+                    ids.extend((int(anchor), pos, neg))
+                paths = [os.path.join(self.folder, self.meta[i].fname) for i in ids]
+                seeds = [int(rng.randint(0, 2**31)) for _ in ids]
+                flat = load_processed_batch(paths, self.num_cols, crop_radius,
+                                            num_points, seeds)
+                flat = flat.reshape(batch_size, 3, num_points, self.num_cols)
+                yield flat[:, 0], flat[:, 1], flat[:, 2]
+            return
+
         batch_a, batch_p, batch_n = [], [], []
         for anchor in order:
             pos, neg = self.sample_triplet_indices(int(anchor), rng)

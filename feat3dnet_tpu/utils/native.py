@@ -1,0 +1,102 @@
+"""ctypes bindings for the native data loader (native/pointcloud_io.cpp).
+
+Auto-builds the shared library with `make` on first use if g++ is present;
+callers must handle `None` (pure-numpy fallback paths exist everywhere).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libf3dnative.so")
+
+_lib = None
+_load_attempted = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.f3d_load_processed.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_float)]
+    lib.f3d_load_processed.restype = ctypes.c_int
+    lib.f3d_load_processed_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int]
+    lib.f3d_load_processed_batch.restype = ctypes.c_int
+    lib.f3d_read_cloud.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long]
+    lib.f3d_read_cloud.restype = ctypes.c_long
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def load_processed(path: str, num_cols: int, crop_radius: float,
+                   num_points: int, seed: int) -> Optional[np.ndarray]:
+    """Native read+crop+resample; None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((num_points, num_cols), np.float32)
+    rc = lib.f3d_load_processed(
+        path.encode(), num_cols, ctypes.c_float(crop_radius), num_points,
+        ctypes.c_uint64(seed & (2**64 - 1)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise IOError(f"native loader failed on {path} (rc={rc})")
+    return out
+
+
+def load_processed_batch(paths: List[str], num_cols: int, crop_radius: float,
+                         num_points: int, seeds: List[int],
+                         num_threads: int = 0) -> Optional[np.ndarray]:
+    """Threaded batch read+crop+resample -> (len(paths), num_points, num_cols)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, num_points, num_cols), np.float32)
+    status = np.zeros(n, np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_seeds = np.asarray(seeds, np.uint64)
+    rc = lib.f3d_load_processed_batch(
+        c_paths, n, num_cols, ctypes.c_float(crop_radius), num_points,
+        c_seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads)
+    if rc != 0:
+        bad = [paths[i] for i in np.nonzero(status)[0]]
+        raise IOError(f"native batch loader failed on {bad[:3]}...")
+    return out
