@@ -98,22 +98,36 @@ def ball_query(
     count = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)  # (B, M, N), nondecreasing
     cnt = jnp.minimum(count[..., -1], nsample)
 
-    # k of the s-th in-ball point = first k with count == s+1. `count` is
-    # sorted along N, so this is a binary search, vectorized over (B, M, s).
-    # Hand-rolled (log2 N static take_along_axis steps) instead of
-    # jnp.searchsorted: the vmapped searchsorted lowers to a serial
-    # while-loop per row on TPU; this form is 14 fused gather passes.
-    targets = jnp.arange(1, nsample + 1, dtype=jnp.int32)
-    shape = count.shape[:-1] + (nsample,)
-    lo = jnp.zeros(shape, jnp.int32)
-    hi = jnp.full(shape, n, jnp.int32)
-    for _ in range(n.bit_length()):  # search space is [0, n] — n+1 values
-        mid = (lo + hi) >> 1
-        v = jnp.take_along_axis(count, jnp.minimum(mid, n - 1), axis=-1)
-        ge = v >= targets
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, mid + 1)
-    idx = jnp.minimum(lo, n - 1)                            # slots past cnt hit N; clipped, then padded below
+    # k of the s-th in-ball point = first k with count == s+1. Two
+    # gather-free formulations, both exploiting that `count` is sorted
+    # along N:
+    #
+    #  * counting: position of the (s+1)-th hit == #{k : count[k] <= s},
+    #    i.e. idx[m, s] = sum_k 1[min(count, ns+1)[m, k] <= s]. One fused
+    #    broadcast-compare-reduce, O(M*N*ns) VPU work, no gathers — wins
+    #    whenever N*ns is modest (it vectorizes perfectly on 8x128 tiles,
+    #    unlike take_along_axis at skinny shapes).
+    #  * binary search: log2(N)+1 take_along_axis passes, O(M*ns*log N) —
+    #    wins for large N where the counting product explodes.
+    #
+    # The crossover (empirical on v5e) sits around N*ns ~ 2^21.
+    if n * nsample <= (1 << 21):
+        clamped = jnp.minimum(count, nsample + 1)
+        slots = jnp.arange(nsample, dtype=jnp.int32)
+        idx = jnp.sum((clamped[..., None] <= slots).astype(jnp.int32), axis=-2)
+    else:
+        targets = jnp.arange(1, nsample + 1, dtype=jnp.int32)
+        shape = count.shape[:-1] + (nsample,)
+        lo = jnp.zeros(shape, jnp.int32)
+        hi = jnp.full(shape, n, jnp.int32)
+        for _ in range(n.bit_length()):  # search space is [0, n] — n+1 values
+            mid = (lo + hi) >> 1
+            v = jnp.take_along_axis(count, jnp.minimum(mid, n - 1), axis=-1)
+            ge = v >= targets
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+        idx = lo
+    idx = jnp.minimum(idx, n - 1)                           # slots past cnt hit N; clipped, then padded below
 
     # Nearest-point fallback for empty balls (true per-center argmin; the
     # reference kernel's cross-cluster bug is documented above).
