@@ -32,8 +32,9 @@ enable_compilation_cache()
 TF1_BASELINE_DESC_PER_SEC = 2500.0  # documented estimate, see module docstring
 
 BATCH = 7500          # clusters per model apply
-SCAN_STEPS = 4        # applies chained per executable call -> 30k clusters
-REPEATS = 8           # timed calls
+SCAN_STEPS = 32       # applies chained per executable call (amortizes the
+                      # ~40 ms tunnel round-trip out of the measurement)
+REPEATS = 4           # timed calls
 
 
 def build_cluster_batch():
