@@ -1,0 +1,13 @@
+#!/bin/bash
+# Extract keypoints + descriptors for the bundled example clouds
+# (reference inference_example.sh equivalent). Point --tf1_checkpoint at an
+# npz export of the reference's pretrained model for real descriptors.
+set -e
+
+EXTRA=""
+if [ -n "$1" ]; then EXTRA="--tf1_checkpoint $1"; fi
+
+python -m feat3dnet_tpu.cli.infer \
+    --data_dir /root/reference/example_data \
+    --output_dir ./example_results \
+    --randomize_points $EXTRA
