@@ -45,11 +45,16 @@ class InferencePipeline:
     """Caches per-bucket jitted executables for the two-pass extraction."""
 
     def __init__(self, model: Feat3DNet, variables, model_cfg: ModelConfig,
-                 infer_cfg: InferenceConfig = InferenceConfig()):
+                 infer_cfg: InferenceConfig = InferenceConfig(),
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — the attention pass then shards
+        the keypoint axis across devices (parallel/point_parallel.py)
+        instead of chunking on one device."""
         self.model = model
         self.variables = variables
         self.mcfg = model_cfg
         self.icfg = infer_cfg
+        self.mesh = mesh
         self._attention_fns: Dict[int, callable] = {}
         self._describe_fns: Dict[Tuple[int, int], callable] = {}
 
@@ -59,6 +64,18 @@ class InferencePipeline:
         """attention+xyz for every point of a padded (1, n_bucket) cloud."""
         if n_bucket in self._attention_fns:
             return self._attention_fns[n_bucket]
+
+        if self.mesh is not None:
+            from feat3dnet_tpu.parallel.point_parallel import keypoint_sharded_attention
+
+            sharded = keypoint_sharded_attention(self.model, self.mesh)
+
+            def fn(variables, cloud, valid_mask):
+                att, _ = sharded(variables, cloud, valid_mask)
+                return att, None
+
+            self._attention_fns[n_bucket] = fn
+            return fn
 
         chunk = min(self.icfg.keypoint_chunk, n_bucket)
         n_chunks = -(-n_bucket // chunk)

@@ -71,3 +71,26 @@ def test_keypoint_sharded_attention_matches_unsharded(rng):
     fn = keypoint_sharded_attention(model, mesh)
     att, ori = fn(variables, cloud, valid)
     np.testing.assert_allclose(np.asarray(att), want_att, rtol=1e-4, atol=1e-5)
+
+
+def test_inference_pipeline_with_mesh(rng):
+    """Keypoint-sharded attention path inside the inference pipeline must
+    agree with the single-device chunked path."""
+    from feat3dnet_tpu.config import InferenceConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16, base_scale=2.0,
+                      detector_mlp=(8,), detector_mlp2=(8,), descriptor_mlp=(8, 8))
+    icfg = InferenceConfig(max_keypoints=16, keypoint_chunk=1024)
+    model = Feat3DNet(cfg)
+    cloud = (rng.rand(300, 6).astype(np.float32) - 0.5) * 10.0
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(cloud[None, :, :3]), training=False)
+
+    single = InferencePipeline(model, variables, cfg, icfg)
+    meshed = InferencePipeline(model, variables, cfg, icfg, mesh=make_mesh())
+    r1 = single.extract(cloud)
+    r2 = meshed.extract(cloud)
+    assert r1.num_keypoints == r2.num_keypoints
+    np.testing.assert_allclose(r1.keypoints, r2.keypoints, atol=1e-5)
+    np.testing.assert_allclose(r1.features, r2.features, rtol=1e-4, atol=1e-5)
