@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore_exclude", type=str, nargs="+", default=None)
     p.add_argument("--freeze_scopes", type=str, nargs="+", default=None)
     p.add_argument("--num_epochs", type=int, default=1000)
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the latest checkpoint in --log_dir if "
+                        "one exists (crash/preemption recovery)")
     p.add_argument("--summary_every_n_steps", type=int, default=20)
     p.add_argument("--validate_every_n_steps", type=int, default=250)
     p.add_argument("--checkpoint_every_n_steps", type=int, default=500)
@@ -105,7 +108,13 @@ def main(argv=None):
     state, _ = init_state(model, tcfg, mcfg, jax.random.PRNGKey(args.seed), tx=tx)
 
     ckpt = CheckpointManager(os.path.join(args.log_dir, "ckpt"))
-    if args.tf1_checkpoint:
+    if args.auto_resume and ckpt.latest_step() is not None:
+        # Elastic recovery: preempted/crashed runs restart with the same
+        # command and continue from the last saved step (the reference's
+        # recovery story is a manual --checkpoint restart, train.py:203-204).
+        state = ckpt.restore(state)
+        logger.info("Auto-resumed from step %d", int(state.step))
+    elif args.tf1_checkpoint:
         from feat3dnet_tpu.utils.tf1_loader import load_tf1_arrays, restore_tf1_variables
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         new_vars, restored, skipped = restore_tf1_variables(

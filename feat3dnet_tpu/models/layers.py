@@ -59,6 +59,41 @@ class ConvBN(nn.Module):
         return x
 
 
+class FullyConnected(nn.Module):
+    """Dense + optional BN + activation.
+
+    API-parity for the reference's `fully_connected` (layers.py:131-167) —
+    dead code for 3DFeat-Net itself, provided for users building other
+    heads on these primitives. Note the order difference from ConvBN that
+    the reference also has: FC applies activation after an OPTIONAL BN with
+    bias always present.
+    """
+
+    features: int
+    use_bn: bool = False
+    activation: Optional[Callable[[Array], Array]] = nn.relu
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, training: bool = False) -> Array:
+        x = nn.Dense(self.features, dtype=self.dtype, name="dense")(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                             epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def dropout(x: Array, rng: Array, keep_prob: float = 0.5,
+            training: bool = True) -> Array:
+    """Functional dropout (reference layers.py:107-128 equivalent)."""
+    if not training or keep_prob >= 1.0:
+        return x
+    mask = jax.random.bernoulli(rng, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, 0.0)
+
+
 def l2_normalize(x: Array, axis: int = -1, epsilon: float = 1e-8) -> Array:
     """tf.nn.l2_normalize semantics: x * rsqrt(max(sum(x^2), epsilon))."""
     sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
