@@ -97,6 +97,43 @@ class InferencePipeline:
         self._attention_fns[n_bucket] = fn
         return fn
 
+    def _extract_fn(self, n_bucket: int):
+        """Fused single-dispatch extraction: chunked attention → on-device
+        NMS → descriptors at the NMS keypoints, one executable per bucket.
+        One host round-trip per cloud instead of three (the tunnel RTT is
+        ~40 ms, comparable to the whole device computation)."""
+        key = ("fused", n_bucket)
+        if key in self._attention_fns:
+            return self._attention_fns[key]
+
+        chunk = min(self.icfg.keypoint_chunk, n_bucket)
+        n_chunks = -(-n_bucket // chunk)
+        icfg = self.icfg
+
+        @jax.jit
+        def fn(variables, cloud, valid_mask):
+            xyz = cloud[..., :3]
+
+            def one_chunk(start):
+                kp = jax.lax.dynamic_slice_in_dim(xyz, start, chunk, axis=1)
+                out = self.model.apply(variables, cloud, training=False,
+                                       keypoints=kp, valid_mask=valid_mask)
+                return out.end_points["attention"][0]
+
+            starts = jnp.arange(n_chunks) * chunk
+            att = jax.lax.map(one_chunk, starts).reshape(-1)[:n_bucket]
+
+            kp, kp_att, num = nms_keypoints(
+                xyz, att[None, :], icfg.nms_radius, icfg.max_keypoints,
+                icfg.min_response_ratio, valid_mask=valid_mask)
+
+            out = self.model.apply(variables, cloud, training=False,
+                                   keypoints=kp, valid_mask=valid_mask)
+            return kp[0], out.features[0], kp_att[0], num[0]
+
+        self._attention_fns[key] = fn
+        return fn
+
     def _describe_fn(self, n_bucket: int, n_kp: int):
         """descriptors at (1, n_kp) keypoints of a padded cloud."""
         key = (n_bucket, n_kp)
@@ -142,6 +179,18 @@ class InferencePipeline:
         valid[0, :n] = True
         padded_j = jnp.asarray(padded)
         valid_j = jnp.asarray(valid)
+
+        if keypoints is None and self.mesh is None:
+            # fused one-dispatch path
+            kp, feats, kp_att, num = self._extract_fn(n_bucket)(
+                self.variables, padded_j, valid_j)
+            num_kp = int(num)
+            return InferenceResult(
+                keypoints=np.asarray(kp[:num_kp]),
+                features=np.asarray(feats[:num_kp]),
+                attention=np.asarray(kp_att[:num_kp]),
+                num_keypoints=num_kp,
+            )
 
         if keypoints is None:
             att, _ = self._attention_fn(n_bucket)(self.variables, padded_j, valid_j)
