@@ -37,11 +37,14 @@ Array = jax.Array
 _INIT_DIST = 1e38  # reference temp init (tf_sampling_g.cu:118)
 
 
-@partial(jax.jit, static_argnames=("npoint",))
 def farthest_point_sample(
     xyz: Array, npoint: int, valid_mask: Optional[Array] = None
 ) -> Array:
     """Iterative FPS: (B, N, 3) -> (B, npoint) int32 indices.
+
+    Dispatches to the Pallas VMEM-resident kernel on TPU (the whole
+    npoint-step loop runs on-chip without HBM round-trips) and the lax.scan
+    formulation elsewhere; both match the reference kernel index-exactly.
 
     Args:
       xyz: points. Padded entries allowed if valid_mask is given.
@@ -49,6 +52,16 @@ def farthest_point_sample(
       valid_mask: optional (B, N) bool; invalid points are never selected
         (the reference has no masking — clouds are pre-duplicated to size).
     """
+    if jax.default_backend() == "tpu":
+        return farthest_point_sample_pallas(xyz, npoint, valid_mask=valid_mask)
+    return farthest_point_sample_scan(xyz, npoint, valid_mask=valid_mask)
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def farthest_point_sample_scan(
+    xyz: Array, npoint: int, valid_mask: Optional[Array] = None
+) -> Array:
+    """lax.scan FPS (portable reference implementation)."""
     n = xyz.shape[-2]
     select_penalty = None
     if valid_mask is not None:
