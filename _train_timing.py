@@ -21,4 +21,4 @@ ts=[]
 for i in range(6):
     b = batch(i)
     t=time.time(); state, m = step(state, *b); l=float(m['loss']); ts.append(time.time()-t)
-print('train step (paper config, b=6x4096, incl. host batch gen + readback): median %.3fs -> %.1f steps/s'%(np.median(ts), 1/np.median(ts)))
+print('train step (paper config, b=6x4096, device step + loss readback): median %.3fs -> %.1f steps/s'%(np.median(ts), 1/np.median(ts)))

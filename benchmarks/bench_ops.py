@@ -43,8 +43,8 @@ def timed(fn, *args, repeats=5):
 
 
 def main():
-    from feat3dnet_tpu.ops import ball_query, farthest_point_sample, group_points, knn_points
-    from feat3dnet_tpu.ops.fps import farthest_point_sample_pallas
+    from feat3dnet_tpu.ops import ball_query, group_points, knn_points
+    from feat3dnet_tpu.ops.fps import farthest_point_sample_pallas, farthest_point_sample_scan
     from feat3dnet_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -73,7 +73,7 @@ def main():
               f"({xyz.shape[0]}x{centers.shape[1]}q x {n}pts, ns={ns})")
 
         if name != "bench":
-            t = timed(jax.jit(lambda a: farthest_point_sample(a, 512)), xyz,
+            t = timed(jax.jit(lambda a: farthest_point_sample_scan(a, 512)), xyz,
                       repeats=args.repeats)
             print(f"{name:10s} fps(scan)    {t * 1e3:8.1f} ms")
             t = timed(jax.jit(lambda a: farthest_point_sample_pallas(a, 512)), xyz,

@@ -52,7 +52,12 @@ def farthest_point_sample(
       valid_mask: optional (B, N) bool; invalid points are never selected
         (the reference has no masking — clouds are pre-duplicated to size).
     """
-    if jax.default_backend() == "tpu":
+    # Pallas path only for the shapes/dtypes the kernel supports; anything
+    # else (extra batch dims, tiny npoint, non-f32, non-TPU backends — note
+    # jax.default_backend() reflects the default device, so force the scan
+    # explicitly when placing work on CPU from a TPU host) uses the scan.
+    if (jax.default_backend() == "tpu" and xyz.ndim == 3
+            and xyz.dtype == jnp.float32 and npoint > 1):
         return farthest_point_sample_pallas(xyz, npoint, valid_mask=valid_mask)
     return farthest_point_sample_scan(xyz, npoint, valid_mask=valid_mask)
 

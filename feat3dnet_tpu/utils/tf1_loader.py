@@ -78,9 +78,13 @@ def _map_name(name: str) -> Optional[Tuple[str, List[str]]]:
 
     parts = name.split("/")
     parts = _strip_layer1(parts)
-    if parts[-2:] == ["conv2d", "weights"] and parts[-3] in ("attention", "orientation"):
+    if len(parts) < 2:
+        return None
+    if (len(parts) >= 3 and parts[-2:] == ["conv2d", "weights"]
+            and parts[-3] in ("attention", "orientation")):
         return "params", parts[:-2] + ["kernel"]
-    if parts[-2:] == ["conv2d", "biases"] and parts[-3] in ("attention", "orientation"):
+    if (len(parts) >= 3 and parts[-2:] == ["conv2d", "biases"]
+            and parts[-3] in ("attention", "orientation")):
         return "params", parts[:-2] + ["bias"]
     if parts[-1] == "weights":
         return "params", parts[:-1] + ["kernel"]

@@ -170,8 +170,9 @@ def test_fps_matches_oracle(rng, n, npoint):
 
 
 def test_fps_pallas_interpret_matches_scan(rng):
+    from feat3dnet_tpu.ops.fps import farthest_point_sample_scan
     xyz = rng.randn(2, 256, 3).astype(np.float32)
-    want = np.asarray(farthest_point_sample(jnp.asarray(xyz), 32))
+    want = np.asarray(farthest_point_sample_scan(jnp.asarray(xyz), 32))
     import jax.experimental.pallas as pl  # noqa: F401
     from jax.experimental.pallas import tpu as pltpu
     with pltpu.force_tpu_interpret_mode():
