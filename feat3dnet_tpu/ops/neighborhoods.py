@@ -95,6 +95,16 @@ def ball_query(
     if valid_mask is not None:
         in_ball = jnp.logical_and(in_ball, valid_mask[..., None, :])
 
+    # Collapse (B, M) into one leading dim for everything row-wise below:
+    # at skinny shapes like (7500, 1, 64) the size-1 sublane dim would
+    # otherwise waste 15/16 of every (8, 128) register tile.
+    lead = in_ball.shape[:-1]
+    in_ball = in_ball.reshape(-1, n)
+    d2 = d2.reshape(-1, n)
+    if valid_mask is not None:
+        valid_rows = jnp.broadcast_to(
+            valid_mask[..., None, :], lead + (n,)).reshape(-1, n)
+
     count = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)  # (B, M, N), nondecreasing
     cnt = jnp.minimum(count[..., -1], nsample)
 
@@ -134,13 +144,13 @@ def ball_query(
 
     # Nearest-point fallback for empty balls (true per-center argmin; the
     # reference kernel's cross-cluster bug is documented above).
-    d2_valid = d2 if valid_mask is None else jnp.where(valid_mask[..., None, :], d2, jnp.inf)
-    nearest = jnp.argmin(d2_valid, axis=-1).astype(jnp.int32)  # (B, M)
+    d2_valid = d2 if valid_mask is None else jnp.where(valid_rows, d2, jnp.inf)
+    nearest = jnp.argmin(d2_valid, axis=-1).astype(jnp.int32)  # (BM,)
 
-    first = jnp.where(cnt > 0, idx[..., 0], nearest)        # (B, M)
+    first = jnp.where(cnt > 0, idx[..., 0], nearest)        # (BM,)
     slot = jnp.arange(nsample, dtype=jnp.int32)
     idx = jnp.where(slot < cnt[..., None], idx, first[..., None])
-    return idx, cnt
+    return idx.reshape(lead + (nsample,)), cnt.reshape(lead)
 
 
 def group_points(points: Array, idx: Array) -> Array:
