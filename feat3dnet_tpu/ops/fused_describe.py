@@ -1,0 +1,186 @@
+"""Fused cluster→descriptor serving kernel.
+
+The production descriptor-serving path (BASELINE.md config 2: batches of
+64-point clusters → 32-D descriptors). XLA executes the detector+descriptor
+towers layer by layer, writing every activation to HBM — ~3 GB of traffic
+per 7500 clusters, ~6x the compute time. This Pallas kernel runs the ENTIRE
+forward for a tile of clusters inside VMEM:
+
+    in-ball selection (first-nsample, repeat-pad, nearest-fallback — the
+    exact ball-query semantics, via a triangular-matmul rank + per-slot
+    one-hot selection matmul) → detector MLP → maxpool → post-MLP →
+    attention/orientation heads → z-rotation canonicalization → descriptor
+    MLP → pool/concat/mid → pool → final projection → L2 normalize
+
+with eval-mode batch norm FOLDED into the matmul weights (BN(Wx+b) is an
+affine map, so W' = W·γ/√(σ²+ε), b' = (b−μ)·γ/√(σ²+ε)+β). HBM traffic per
+tile: cluster coords in, descriptor+attention out — nothing else.
+
+Scope: keypoint at the cluster origin (the validator/bench/serving layout),
+cluster size == nsample, eval mode. The general path stays in
+models/feat3dnet.py; `describe_clusters` picks automatically.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from feat3dnet_tpu.config import ModelConfig
+
+Array = jax.Array
+
+
+def _fold(params, stats, name, eps):
+    """Fold eval-mode BatchNorm into the preceding Dense: BN(Wx+b) with
+    running stats is affine, so W' = W·γ·rsqrt(σ²+ε), b' = (b−μ)·γ·rsqrt(σ²+ε)+β."""
+    k = params[name]["conv2d"]["kernel"]
+    b = params[name]["conv2d"]["bias"]
+    scale = params[name]["bn"]["scale"] * jax.lax.rsqrt(stats[name]["bn"]["var"] + eps)
+    return k * scale[None, :], (b - stats[name]["bn"]["mean"]) * scale + params[name]["bn"]["bias"]
+
+
+def folded_weights(variables: Dict[str, Any], cfg: ModelConfig) -> List[Array]:
+    """Flatten the variable tree into the kernel's weight list (BN folded).
+
+    Order: detector convs, detector post convs, attention, orientation,
+    descriptor convs, conv_mid_0, conv_post_0.
+    """
+    p, s = variables["params"], variables["batch_stats"]
+    eps = cfg.bn_epsilon
+    out: List[Array] = []
+    det_p, det_s = p["detection"], s["detection"]
+    for i in range(len(cfg.detector_mlp)):
+        out.extend(_fold(det_p, det_s, f"conv{i}", eps))
+    for i in range(len(cfg.detector_mlp2)):
+        out.extend(_fold(det_p, det_s, f"conv_post_{i}", eps))
+    out.extend([det_p["attention"]["kernel"], det_p["attention"]["bias"]])
+    out.extend([det_p["orientation"]["kernel"], det_p["orientation"]["bias"]])
+    desc_p, desc_s = p["description"], s["description"]
+    for i in range(len(cfg.descriptor_mlp)):
+        out.extend(_fold(desc_p, desc_s, f"conv{i}", eps))
+    out.extend(_fold(desc_p, desc_s, "conv_mid_0", eps))
+    out.extend(_fold(desc_p, desc_s, "conv_post_0", eps))
+    return [jnp.asarray(w, jnp.float32) for w in out]
+
+
+def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
+    weights = refs[:-2]
+    desc_ref, att_ref = refs[-2], refs[-1]
+    widx = 0
+
+    def next_w():
+        nonlocal widx
+        k, b = weights[widx][...], weights[widx + 1][...]
+        widx += 2
+        return k, b
+
+    r2 = jnp.float32(cfg.base_scale) ** 2
+    inv_r = 1.0 / jnp.float32(cfg.base_scale)
+
+    pts = clusters_ref[...]                                   # (TC, ns, 3)
+
+    # ---- exact ball-query selection around the origin keypoint ----------
+    d2 = jnp.sum(pts * pts, axis=-1)                          # (TC, ns)
+    in_ball = (d2 < r2).astype(jnp.float32)
+    # inclusive prefix count via upper-triangular ones matmul (MXU)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 1)).astype(jnp.float32)
+    rank = jnp.dot(in_ball, tri, preferred_element_type=jnp.float32)  # (TC, ns)
+    cnt = rank[:, -1:]                                        # (TC, 1)
+    # slot s takes the point with rank s+1 while s < cnt; pad slots repeat
+    # the FIRST in-ball point (rank 1 — reference repeat-pad semantics);
+    # empty balls take the nearest point instead.
+    slots = jax.lax.broadcasted_iota(jnp.float32, (tc, 1, ns), 2)
+    target = jnp.where(slots + 1.0 <= cnt[:, :, None], slots + 1.0, 1.0)
+    sel = (jnp.abs(rank[:, :, None] - target) < 0.5) * in_ball[:, :, None]  # (TC, ns_k, ns_s)
+    # nearest-point fallback rows (cnt == 0): FIRST index attaining the min
+    nearest_best = jnp.min(d2, axis=-1, keepdims=True)
+    tie = (d2 <= nearest_best).astype(jnp.float32)            # (TC, ns)
+    tie_rank = jnp.dot(tie, tri, preferred_element_type=jnp.float32)
+    near_onehot = tie * (jnp.abs(tie_rank - 1.0) < 0.5).astype(jnp.float32)
+    empty = (cnt < 0.5).astype(jnp.float32)[:, :, None]       # (TC, 1, 1)
+    sel = sel + empty * near_onehot[:, :, None]
+    # grouped[s] = sum_k sel[k, s] * pts[k]   (batched (ns_s, ns_k)@(ns_k, 3))
+    grouped = jax.lax.dot_general(
+        sel, pts, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                   # (TC, ns_s, 3)
+    grouped = grouped * inv_r
+
+    flat = grouped.reshape(tc * ns, 3)
+
+    # ---- detector tower --------------------------------------------------
+    h = flat
+    for _ in range(len(cfg.detector_mlp)):
+        k, b = next_w()
+        h = jnp.maximum(jnp.dot(h, k, preferred_element_type=jnp.float32) + b, 0.0)
+    h = jnp.max(h.reshape(tc, ns, -1), axis=1)                # (TC, 256)
+    for _ in range(len(cfg.detector_mlp2)):
+        k, b = next_w()
+        h = jnp.maximum(jnp.dot(h, k, preferred_element_type=jnp.float32) + b, 0.0)
+    ka, ba = next_w()
+    att = jax.nn.softplus(jnp.dot(h, ka, preferred_element_type=jnp.float32) + ba)  # (TC, 1)
+    ko, bo = next_w()
+    ori = jnp.dot(h, ko, preferred_element_type=jnp.float32) + bo                   # (TC, 2)
+    ori = ori * jax.lax.rsqrt(jnp.maximum(jnp.sum(ori * ori, -1, keepdims=True), 1e-8))
+    cos_t, sin_t = ori[:, 0:1], ori[:, 1:2]                   # (TC, 1)
+
+    # ---- canonicalize + descriptor tower ---------------------------------
+    x, y, z = grouped[..., 0], grouped[..., 1], grouped[..., 2]   # (TC, ns)
+    xr = x * cos_t - y * sin_t
+    yr = x * sin_t + y * cos_t
+    rot = jnp.stack([xr, yr, z], axis=-1).reshape(tc * ns, 3)
+
+    d = rot
+    for _ in range(len(cfg.descriptor_mlp)):
+        k, b = next_w()
+        d = jnp.maximum(jnp.dot(d, k, preferred_element_type=jnp.float32) + b, 0.0)
+    c_pts = d.reshape(tc, ns, -1)
+    pooled = jnp.max(c_pts, axis=1, keepdims=True)
+    cat = jnp.concatenate(
+        [c_pts, jnp.broadcast_to(pooled, c_pts.shape)], axis=-1)    # (TC, ns, 2C)
+    k, b = next_w()                                           # conv_mid_0: BN, NO relu
+    m = jnp.dot(cat.reshape(tc * ns, -1), k, preferred_element_type=jnp.float32) + b
+    m = jnp.max(m.reshape(tc, ns, -1), axis=1)                # (TC, 128)
+    k, b = next_w()                                           # conv_post_0: BN, NO relu
+    out = jnp.dot(m, k, preferred_element_type=jnp.float32) + b     # (TC, D)
+    out = out * jax.lax.rsqrt(jnp.maximum(jnp.sum(out * out, -1, keepdims=True), 1e-8))
+
+    desc_ref[...] = out
+    att_ref[...] = att
+
+
+@partial(jax.jit, static_argnames=("cfg", "tile"))
+def fused_describe_clusters(weights: List[Array], clusters: Array,
+                            cfg: ModelConfig, tile: int = 128
+                            ) -> Tuple[Array, Array]:
+    """(B, nsample, 3) origin-centered clusters -> (descriptors (B, D),
+    attention (B,)). weights from folded_weights()."""
+    b, ns, _ = clusters.shape
+    assert ns == cfg.num_samples, f"cluster size {ns} != num_samples {cfg.num_samples}"
+    pad = -b % tile
+    padded = jnp.pad(clusters.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
+    n_tiles = padded.shape[0] // tile
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    desc, att = pl.pallas_call(
+        partial(_kernel, cfg=cfg, tc=tile, ns=ns),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((tile, ns, 3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=(
+            pl.BlockSpec((tile, cfg.feature_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((padded.shape[0], cfg.feature_dim), jnp.float32),
+            jax.ShapeDtypeStruct((padded.shape[0], 1), jnp.float32),
+        ),
+    )(padded, *weights)
+    return desc[:b], att[:b, 0]
