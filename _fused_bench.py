@@ -15,17 +15,19 @@ variables = model.init(jax.random.PRNGKey(0), clusters[:8], training=False, keyp
 # correctness on real TPU
 want = model.apply(variables, clusters[:512], training=False, keypoints=keypoints[:512])
 weights = folded_weights(variables, cfg)
-desc, att = fused_describe_clusters(weights, clusters[:512], cfg)
+desc, att = fused_describe_clusters(weights, clusters[:512], cfg, tile=256)
 w = np.asarray(want.features[:, 0, :]); d = np.asarray(desc)
 cos = np.sum(w*d, -1)
-print('fused vs model on real TPU: cos min %.6f  att maxerr %.2e' % (
-    cos.min(), np.abs(np.asarray(att) - np.asarray(want.attention[:, 0])).max()), flush=True)
+nz = (np.linalg.norm(w, axis=1) > 0.5) & (np.linalg.norm(d, axis=1) > 0.5)
+print('fused vs model on real TPU: nonzero %d/%d  cos(min over nonzero) %.6f  both-zero agree: %s  att maxerr %.2e' % (
+    nz.sum(), len(nz), cos[nz].min(), bool(np.all((np.linalg.norm(w,axis=1)<0.5)==(np.linalg.norm(d,axis=1)<0.5))),
+    np.abs(np.asarray(att) - np.asarray(want.attention[:, 0])).max()), flush=True)
 
 # throughput: scan-chained like bench.py
 @jax.jit
 def bench_step(weights, clusters, seed):
     def body(carry, eps):
-        d, a = fused_describe_clusters(weights, clusters * (1.0 + eps), cfg)
+        d, a = fused_describe_clusters(weights, clusters * (1.0 + eps), cfg, tile=256)
         return carry + jnp.sum(d), None
     acc, _ = jax.lax.scan(body, jnp.float32(0), seed + 1e-6 * jnp.arange(32, dtype=jnp.float32))
     return acc

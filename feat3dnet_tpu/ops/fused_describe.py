@@ -96,9 +96,11 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
     # slot s takes the point with rank s+1 while s < cnt; pad slots repeat
     # the FIRST in-ball point (rank 1 — reference repeat-pad semantics);
     # empty balls take the nearest point instead.
-    slots = jax.lax.broadcasted_iota(jnp.float32, (tc, 1, ns), 2)
-    target = jnp.where(slots + 1.0 <= cnt[:, :, None], slots + 1.0, 1.0)
-    sel = (jnp.abs(rank[:, :, None] - target) < 0.5) * in_ball[:, :, None]  # (TC, ns_k, ns_s)
+    # int32 iota cast to f32 — Mosaic has no float iota
+    slots = jax.lax.broadcasted_iota(jnp.int32, (tc, ns), 1).astype(jnp.float32)
+    target = jnp.where(slots + 1.0 <= cnt, slots + 1.0, 1.0)         # (TC, ns_s)
+    sel = ((jnp.abs(rank[:, :, None] - target[:, None, :]) < 0.5)
+           * in_ball[:, :, None])                                    # (TC, ns_k, ns_s)
     # nearest-point fallback rows (cnt == 0): FIRST index attaining the min
     nearest_best = jnp.min(d2, axis=-1, keepdims=True)
     tie = (d2 <= nearest_best).astype(jnp.float32)            # (TC, ns)
@@ -157,7 +159,7 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
 
 @partial(jax.jit, static_argnames=("cfg", "tile"))
 def fused_describe_clusters(weights: List[Array], clusters: Array,
-                            cfg: ModelConfig, tile: int = 128
+                            cfg: ModelConfig, tile: int = 64
                             ) -> Tuple[Array, Array]:
     """(B, nsample, 3) origin-centered clusters -> (descriptors (B, D),
     attention (B,)). weights from folded_weights()."""
@@ -182,5 +184,10 @@ def fused_describe_clusters(weights: List[Array], clusters: Array,
             jax.ShapeDtypeStruct((padded.shape[0], cfg.feature_dim), jnp.float32),
             jax.ShapeDtypeStruct((padded.shape[0], 1), jnp.float32),
         ),
+        # activations at tile=256: (TC*ns, 256) + concat peers ≈ 40 MB —
+        # raise the scoped-VMEM cap (v5e has 128 MB physical VMEM; the
+        # default scoped limit is 16 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(padded, *weights)
     return desc[:b], att[:b, 0]
