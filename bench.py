@@ -57,6 +57,7 @@ def build_cluster_batch():
 def main():
     from feat3dnet_tpu.config import ModelConfig
     from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.ops.fused_describe import folded_weights, fused_describe_clusters
 
     cfg = ModelConfig()  # paper config, float32
     model = Feat3DNet(cfg)
@@ -66,28 +67,28 @@ def main():
 
     variables = model.init(jax.random.PRNGKey(0), clusters[:8], training=False,
                            keypoints=keypoints[:8])
-
-    def describe(variables, clusters):
-        out = model.apply(variables, clusters, training=False, keypoints=keypoints)
-        return out.features                          # (BATCH, 1, 32)
+    # The serving path: fused Pallas kernel, eval-BN folded into the
+    # matmuls. Verified on-chip against the XLA model path (descriptor
+    # cosine >= 0.9999 on all non-degenerate clusters).
+    weights = folded_weights(variables, cfg)
 
     @jax.jit
-    def bench_step(variables, clusters, seed):
+    def bench_step(weights, clusters, seed):
         def body(carry, eps):
-            feats = describe(variables, clusters * (1.0 + eps))
-            return carry + jnp.sum(feats), None
+            desc, att = fused_describe_clusters(weights, clusters * (1.0 + eps), cfg)
+            return carry + jnp.sum(desc), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0),
                               seed + 1e-6 * jnp.arange(SCAN_STEPS, dtype=jnp.float32))
         return acc
 
     # warm-up / compile
-    float(bench_step(variables, clusters, jnp.float32(0.0)))
+    float(bench_step(weights, clusters, jnp.float32(0.0)))
 
     times = []
     for r in range(REPEATS):
         t0 = time.time()
-        float(bench_step(variables, clusters, jnp.float32(1e-5 * (r + 1))))
+        float(bench_step(weights, clusters, jnp.float32(1e-5 * (r + 1))))
         times.append(time.time() - t0)
 
     per_call = float(np.median(times))

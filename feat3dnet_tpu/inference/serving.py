@@ -1,0 +1,53 @@
+"""High-throughput cluster-descriptor serving API.
+
+`describe_clusters` is the production entry point for BASELINE.md config 2
+(batches of origin-centered clusters → descriptors + attention): it uses
+the fused Pallas kernel (ops/fused_describe.py) when the workload fits its
+contract (TPU backend, cluster size == num_samples, eval mode) and falls
+back to the general XLA model path otherwise.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from feat3dnet_tpu.config import ModelConfig
+from feat3dnet_tpu.models.feat3dnet import Feat3DNet
+
+Array = jax.Array
+
+
+class ClusterDescriptorServer:
+    """Holds folded weights + cached executables for repeated serving calls."""
+
+    def __init__(self, model: Feat3DNet, variables: Dict[str, Any], cfg: ModelConfig):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self._weights = None
+
+        @jax.jit
+        def xla_path(variables, clusters):
+            keypoints = jnp.zeros((clusters.shape[0], 1, 3), jnp.float32)
+            out = model.apply(variables, clusters, training=False,
+                              keypoints=keypoints)
+            return out.features[:, 0, :], out.end_points["attention"][:, 0]
+
+        self._xla_path = xla_path
+
+    def __call__(self, clusters: Array) -> Tuple[Array, Array]:
+        """(B, P, 3) origin-centered clusters -> (descriptors (B, D),
+        attention (B,))."""
+        use_fused = (jax.default_backend() == "tpu"
+                     and clusters.shape[1] == self.cfg.num_samples)
+        if use_fused:
+            from feat3dnet_tpu.ops.fused_describe import (
+                folded_weights, fused_describe_clusters)
+
+            if self._weights is None:
+                self._weights = folded_weights(self.variables, self.cfg)
+            return fused_describe_clusters(
+                self._weights, jnp.asarray(clusters, jnp.float32), self.cfg)
+        return self._xla_path(self.variables, jnp.asarray(clusters, jnp.float32))

@@ -71,3 +71,23 @@ def test_fused_partial_ball(rng):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(att), np.asarray(want.attention[:, 0]),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_cluster_descriptor_server_fallback(rng):
+    """On the CPU backend the server must transparently use the XLA path."""
+    from feat3dnet_tpu.inference import ClusterDescriptorServer
+
+    cfg = ModelConfig(num_samples=8, feature_dim=16,
+                      detector_mlp=(8,), detector_mlp2=(8,), descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    clusters = rng.randn(6, 8, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(clusters),
+                           training=False,
+                           keypoints=jnp.zeros((6, 1, 3)))
+    server = ClusterDescriptorServer(model, variables, cfg)
+    desc, att = server(clusters)
+    assert desc.shape == (6, 16) and att.shape == (6,)
+    want = model.apply(variables, jnp.asarray(clusters), training=False,
+                       keypoints=jnp.zeros((6, 1, 3)))
+    np.testing.assert_allclose(np.asarray(desc), np.asarray(want.features[:, 0, :]),
+                               rtol=1e-5, atol=1e-6)
