@@ -58,8 +58,6 @@ def test_fully_connected_and_dropout(rng):
 
 
 def test_train_cli_auto_resume(tmp_path, rng):
-    from tests.test_cli import tiny_dataset  # fixture function reuse
-    # build dataset manually (fixture not importable as plain function)
     train_dir = tmp_path / "train"
     train_dir.mkdir()
     lines = []
