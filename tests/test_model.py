@@ -143,3 +143,19 @@ def test_bn_train_eval_modes(rng):
     assert moved
     # and train-mode outputs differ from eval-mode (fresh EMA = init values)
     assert not np.allclose(np.asarray(out_eval.features), np.asarray(out_train.features))
+
+
+def test_bfloat16_compute_dtype(rng):
+    """bf16 compute path runs and stays close to f32 (params remain f32)."""
+    import jax.numpy as jnp
+    cfg32 = SMALL
+    cfg16 = ModelConfig(**{**SMALL.__dict__, "compute_dtype": jnp.bfloat16})
+    cloud = jnp.asarray(rng.randn(1, 128, 6).astype(np.float32))
+    m32, m16 = Feat3DNet(cfg32), Feat3DNet(cfg16)
+    v = m32.init(jax.random.PRNGKey(0), cloud, training=False)
+    out32 = m32.apply(v, cloud, training=False)
+    out16 = m16.apply(v, cloud, training=False)
+    assert out16.features.dtype == jnp.float32      # outputs cast back
+    a, b = np.asarray(out32.features), np.asarray(out16.features)
+    cos = np.sum(a * b, -1)
+    assert np.mean(cos > 0.98) > 0.9
