@@ -152,6 +152,10 @@ def main(argv=None):
     writer = MetricsWriter(os.path.join(args.log_dir, "metrics.jsonl"))
     aug_key = jax.random.PRNGKey(args.seed + 1)
 
+    # host-side step mirror: state.step is step0 + i by construction, so
+    # hook scheduling needs no per-step device->host readback (which would
+    # serialize host batch prep with device compute)
+    step = int(state.step)
     for epoch in range(args.num_epochs):
         logger.info("Starting epoch %d", epoch)
         for batch in prefetch(dataset.epoch_triplets(
@@ -163,7 +167,7 @@ def main(argv=None):
                 p = augment_clouds(k2, p, aug_names)
                 n = augment_clouds(k3, n, aug_names)
             state, metrics = step_fn(state, *place((a, p, n)))
-            step = int(state.step)
+            step += 1
             if step % args.summary_every_n_steps == 0:
                 loss = float(metrics["loss"])
                 writer.write(step=step, loss=loss)

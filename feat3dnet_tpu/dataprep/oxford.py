@@ -146,6 +146,13 @@ def accumulate_scans(
     return np.concatenate(out, axis=0)
 
 
+def moving_mask(velocities: np.ndarray, min_speed: float = MIN_SPEED) -> np.ndarray:
+    """Frames where the vehicle moves faster than min_speed — apply to
+    laser timestamps/poses BEFORE accumulation, as BuildPointclouds.m:63-68
+    does (stationary frames would over-weight stop locations)."""
+    return np.linalg.norm(np.asarray(velocities), axis=1) > min_speed
+
+
 def segment_trajectory(positions: np.ndarray,
                        accumulate_distance: float = ACCUMULATE_DISTANCE,
                        meters_per_cloud: float = METERS_PER_POINT_CLOUD

@@ -70,9 +70,13 @@ def ransac_rigid(
     if valid is None:
         valid = jnp.ones((n,), bool)
 
-    # K random 3-point minimal samples (iid over valid correspondences).
+    # K random 3-point minimal samples WITHOUT replacement within each
+    # hypothesis (Gumbel top-k over the valid set — iid sampling would give
+    # ~3%/N duplicate-index hypotheses whose Kabsch fit is rank-deficient,
+    # wasting trials the reference's distinct randomsample never does).
     logits = jnp.where(valid, 0.0, -jnp.inf)
-    idx = jax.random.categorical(key, logits, shape=(num_hypotheses, 3))  # (K, 3)
+    gumbel = jax.random.gumbel(key, (num_hypotheses, n))
+    _, idx = jax.lax.top_k(gumbel + logits[None, :], 3)                  # (K, 3)
     s3 = src[idx]                                        # (K, 3, 3)
     d3 = dst[idx]
 

@@ -56,9 +56,42 @@ class InferencePipeline:
         self.icfg = infer_cfg
         self.mesh = mesh
         self._attention_fns: Dict[int, callable] = {}
+        self._extract_fns: Dict[int, callable] = {}
         self._describe_fns: Dict[Tuple[int, int], callable] = {}
 
     # -- jit builders -----------------------------------------------------
+
+    def _chunk_size(self, n_bucket: int) -> int:
+        """Largest power of two <= keypoint_chunk that divides n_bucket
+        (buckets are power-of-two multiples, so this always exists). A
+        non-dividing chunk would make lax.dynamic_slice clamp the last
+        chunk's start and silently misalign the concatenated results."""
+        c = 1
+        while c * 2 <= min(self.icfg.keypoint_chunk, n_bucket) and n_bucket % (c * 2) == 0:
+            c *= 2
+        return c
+
+    def _chunked_attention(self, n_bucket: int):
+        """Traceable (variables, cloud, valid_mask) -> attention (n_bucket,)
+        via fixed-size keypoint chunks under lax.map. Shared by the
+        standalone attention pass and the fused extract."""
+        chunk = self._chunk_size(n_bucket)
+        n_chunks = n_bucket // chunk
+
+        def attention(variables, cloud, valid_mask):
+            xyz = cloud[..., :3]
+
+            def one_chunk(start):
+                kp = jax.lax.dynamic_slice_in_dim(xyz, start, chunk, axis=1)
+                out = self.model.apply(variables, cloud, training=False,
+                                       keypoints=kp, valid_mask=valid_mask)
+                return out.end_points["attention"][0], out.end_points["orientation"][0]
+
+            starts = jnp.arange(n_chunks) * chunk
+            att, ori = jax.lax.map(one_chunk, starts)
+            return att.reshape(-1), ori.reshape(-1)
+
+        return attention
 
     def _attention_fn(self, n_bucket: int):
         """attention+xyz for every point of a padded (1, n_bucket) cloud."""
@@ -77,23 +110,8 @@ class InferencePipeline:
             self._attention_fns[n_bucket] = fn
             return fn
 
-        chunk = min(self.icfg.keypoint_chunk, n_bucket)
-        n_chunks = -(-n_bucket // chunk)
-
-        @jax.jit
-        def fn(variables, cloud, valid_mask):
-            xyz = cloud[..., :3]
-
-            def one_chunk(start):
-                kp = jax.lax.dynamic_slice_in_dim(xyz, start, chunk, axis=1)
-                out = self.model.apply(variables, cloud, training=False,
-                                       keypoints=kp, valid_mask=valid_mask)
-                return out.end_points["attention"][0], out.end_points["orientation"][0]
-
-            starts = jnp.arange(n_chunks) * chunk
-            att, ori = jax.lax.map(one_chunk, starts)
-            return att.reshape(-1)[:n_bucket], ori.reshape(-1)[:n_bucket]
-
+        attention = self._chunked_attention(n_bucket)
+        fn = jax.jit(attention)
         self._attention_fns[n_bucket] = fn
         return fn
 
@@ -102,26 +120,16 @@ class InferencePipeline:
         NMS → descriptors at the NMS keypoints, one executable per bucket.
         One host round-trip per cloud instead of three (the tunnel RTT is
         ~40 ms, comparable to the whole device computation)."""
-        key = ("fused", n_bucket)
-        if key in self._attention_fns:
-            return self._attention_fns[key]
+        if n_bucket in self._extract_fns:
+            return self._extract_fns[n_bucket]
 
-        chunk = min(self.icfg.keypoint_chunk, n_bucket)
-        n_chunks = -(-n_bucket // chunk)
+        attention = self._chunked_attention(n_bucket)
         icfg = self.icfg
 
         @jax.jit
         def fn(variables, cloud, valid_mask):
             xyz = cloud[..., :3]
-
-            def one_chunk(start):
-                kp = jax.lax.dynamic_slice_in_dim(xyz, start, chunk, axis=1)
-                out = self.model.apply(variables, cloud, training=False,
-                                       keypoints=kp, valid_mask=valid_mask)
-                return out.end_points["attention"][0]
-
-            starts = jnp.arange(n_chunks) * chunk
-            att = jax.lax.map(one_chunk, starts).reshape(-1)[:n_bucket]
+            att, _ = attention(variables, cloud, valid_mask)
 
             kp, kp_att, num = nms_keypoints(
                 xyz, att[None, :], icfg.nms_radius, icfg.max_keypoints,
@@ -131,7 +139,7 @@ class InferencePipeline:
                                    keypoints=kp, valid_mask=valid_mask)
             return kp[0], out.features[0], kp_att[0], num[0]
 
-        self._attention_fns[key] = fn
+        self._extract_fns[n_bucket] = fn
         return fn
 
     def _describe_fn(self, n_bucket: int, n_kp: int):

@@ -41,7 +41,11 @@ class ClusterDescriptorServer:
         """(B, P, 3) origin-centered clusters -> (descriptors (B, D),
         attention (B,))."""
         use_fused = (jax.default_backend() == "tpu"
-                     and clusters.shape[1] == self.cfg.num_samples)
+                     and clusters.shape[1] == self.cfg.num_samples
+                     # the fused kernel folds eval BN into the weights —
+                     # no-BN models take the XLA path
+                     and self.cfg.use_bn
+                     and bool(self.variables.get("batch_stats")))
         if use_fused:
             from feat3dnet_tpu.ops.fused_describe import (
                 folded_weights, fused_describe_clusters)

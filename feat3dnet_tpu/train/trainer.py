@@ -160,13 +160,14 @@ class Trainer:
         """Run `num_steps` steps; hooks maps period -> fn(state, metrics)."""
         hooks = hooks or {}
         metrics = None
+        step = int(state.step)   # host mirror — avoids a per-step device sync
         for _ in range(num_steps):
             batch = next(data_iter, None)
             if batch is None:
                 break
             anchors, positives, negatives = batch
             state, metrics = self.step_fn(state, anchors, positives, negatives)
-            step = int(state.step)
+            step += 1
             for period, fn in hooks.items():
                 if step % period == 0:
                     fn(state, metrics)

@@ -59,9 +59,34 @@ class CheckpointManager:
                     out[scope] = init_tree[scope]
             return out
 
+        # Optimizer slots (Adam moments) that live under an excluded scope
+        # must ALSO come from init — the reference's Saver var_list excludes
+        # 'detection/.../Adam' along with the weights (train.py:210-214);
+        # keeping stale moments for fresh-init params would mis-scale their
+        # first updates. Optimizer states mirror the param-tree structure,
+        # so walk both trees by path and take init leaves whose path passes
+        # through an excluded scope key.
+        import jax.tree_util as jtu
+
+        init_leaves, treedef = jtu.tree_flatten_with_path(init_state.opt_state)
+        rest_leaves, _ = jtu.tree_flatten_with_path(restored.opt_state)
+        excluded = set(restore_exclude)
+
+        def pick(path_and_init, path_and_rest):
+            path, init_leaf = path_and_init
+            _, rest_leaf = path_and_rest
+            for key in path:
+                name = getattr(key, "key", None)
+                if name in excluded:
+                    return init_leaf
+            return rest_leaf
+
+        merged_opt = jtu.tree_unflatten(
+            treedef, [pick(a, b) for a, b in zip(init_leaves, rest_leaves)])
+
         return TrainState(
             step=restored.step,
             params=merge(init_state.params, restored.params),
             batch_stats=merge(init_state.batch_stats, restored.batch_stats),
-            opt_state=restored.opt_state,
+            opt_state=merged_opt,
         )

@@ -138,3 +138,34 @@ def test_tf1_shape_mismatch_raises():
     arrays = {"detection/conv0/conv2d/weights": np.zeros((1, 1, 5, 5), np.float32)}
     with pytest.raises(ValueError):
         restore_tf1_variables(variables, arrays)
+
+
+def test_restore_exclude_resets_optimizer_slots(tmp_path):
+    """Adam moments under an excluded scope must come from init, not the
+    checkpoint (reference Saver var_list semantics)."""
+    import optax
+    state = _state()
+    # fabricate nonzero moments by perturbing the whole opt_state
+    dirty = state.replace(
+        step=state.step + 10,
+        opt_state=jax.tree.map(lambda x: x + 1.0 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                               state.opt_state))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(dirty)
+    restored = mgr.restore(state, restore_exclude=["detection"])
+
+    def leaves_under(opt_state, scope):
+        import jax.tree_util as jtu
+        out = []
+        for path, leaf in jtu.tree_flatten_with_path(opt_state)[0]:
+            if any(getattr(k, "key", None) == scope for k in path):
+                out.append((path, leaf))
+        return out
+
+    for (path, leaf), (_, init_leaf) in zip(
+            leaves_under(restored.opt_state, "detection"),
+            leaves_under(state.opt_state, "detection")):
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(init_leaf))
+    # non-excluded scope moments come from the checkpoint (perturbed)
+    desc = leaves_under(restored.opt_state, "description")
+    assert any(not np.allclose(np.asarray(l), 0.0) for _, l in desc)

@@ -66,3 +66,18 @@ def test_randomize_points_changes_order_not_validity(rng):
     pipe = _pipeline(cloud)
     res = pipe.extract(cloud, rng=np.random.RandomState(3))
     assert res.num_keypoints > 0
+
+
+def test_non_dividing_keypoint_chunk(rng):
+    """A keypoint_chunk that doesn't divide the bucket must not misalign
+    attention (regression: lax.dynamic_slice clamps the last chunk start)."""
+    from feat3dnet_tpu.config import InferenceConfig
+    icfg = InferenceConfig(nms_radius=0.5, max_keypoints=32, keypoint_chunk=3000)
+    cloud = (rng.rand(300, 6).astype(np.float32) - 0.5) * 10.0
+    pipe = _pipeline(cloud)
+    pipe_odd = InferencePipeline(pipe.model, pipe.variables, CFG, icfg)
+    r1 = pipe.extract(cloud)
+    r2 = pipe_odd.extract(cloud)
+    assert r1.num_keypoints == r2.num_keypoints
+    np.testing.assert_allclose(r1.keypoints, r2.keypoints, atol=1e-6)
+    np.testing.assert_allclose(r1.features, r2.features, rtol=1e-5, atol=1e-6)
