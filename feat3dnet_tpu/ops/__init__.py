@@ -31,6 +31,7 @@ from feat3dnet_tpu.ops.neighborhoods import (
 from feat3dnet_tpu.ops.fps import farthest_point_sample
 from feat3dnet_tpu.ops.sampling import prob_sample
 from feat3dnet_tpu.ops.nms import nms_keypoints
+from feat3dnet_tpu.ops.pointnet import sample_and_group, sample_and_group_all, sample_points
 
 __all__ = [
     "ball_query",
@@ -41,4 +42,7 @@ __all__ = [
     "farthest_point_sample",
     "prob_sample",
     "nms_keypoints",
+    "sample_points",
+    "sample_and_group",
+    "sample_and_group_all",
 ]
