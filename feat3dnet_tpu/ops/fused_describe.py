@@ -69,7 +69,8 @@ def folded_weights(variables: Dict[str, Any], cfg: ModelConfig) -> List[Array]:
     return [jnp.asarray(w, jnp.float32) for w in out]
 
 
-def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
+def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
+            bf16_matmul: bool = False):
     weights = refs[:-2]
     desc_ref, att_ref = refs[-2], refs[-1]
     widx = 0
@@ -78,7 +79,15 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
         nonlocal widx
         k, b = weights[widx][...], weights[widx + 1][...]
         widx += 2
+        if bf16_matmul:
+            k = k.astype(jnp.bfloat16)
         return k, b
+
+    def mm(a, k):
+        # matmul with optional bf16 inputs, always f32 accumulate
+        if bf16_matmul:
+            a = a.astype(jnp.bfloat16)
+        return jnp.dot(a, k, preferred_element_type=jnp.float32)
 
     r2 = jnp.float32(cfg.base_scale) ** 2
     inv_r = 1.0 / jnp.float32(cfg.base_scale)
@@ -120,15 +129,15 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
     h = flat
     for _ in range(len(cfg.detector_mlp)):
         k, b = next_w()
-        h = jnp.maximum(jnp.dot(h, k, preferred_element_type=jnp.float32) + b, 0.0)
+        h = jnp.maximum(mm(h, k) + b, 0.0)
     h = jnp.max(h.reshape(tc, ns, -1), axis=1)                # (TC, 256)
     for _ in range(len(cfg.detector_mlp2)):
         k, b = next_w()
-        h = jnp.maximum(jnp.dot(h, k, preferred_element_type=jnp.float32) + b, 0.0)
+        h = jnp.maximum(mm(h, k) + b, 0.0)
     ka, ba = next_w()
-    att = jax.nn.softplus(jnp.dot(h, ka, preferred_element_type=jnp.float32) + ba)  # (TC, 1)
+    att = jax.nn.softplus(mm(h, ka) + ba)  # (TC, 1)
     ko, bo = next_w()
-    ori = jnp.dot(h, ko, preferred_element_type=jnp.float32) + bo                   # (TC, 2)
+    ori = mm(h, ko) + bo                   # (TC, 2)
     ori = ori * jax.lax.rsqrt(jnp.maximum(jnp.sum(ori * ori, -1, keepdims=True), 1e-8))
     cos_t, sin_t = ori[:, 0:1], ori[:, 1:2]                   # (TC, 1)
 
@@ -141,25 +150,26 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
     d = rot
     for _ in range(len(cfg.descriptor_mlp)):
         k, b = next_w()
-        d = jnp.maximum(jnp.dot(d, k, preferred_element_type=jnp.float32) + b, 0.0)
+        d = jnp.maximum(mm(d, k) + b, 0.0)
     c_pts = d.reshape(tc, ns, -1)
     pooled = jnp.max(c_pts, axis=1, keepdims=True)
     cat = jnp.concatenate(
         [c_pts, jnp.broadcast_to(pooled, c_pts.shape)], axis=-1)    # (TC, ns, 2C)
     k, b = next_w()                                           # conv_mid_0: BN, NO relu
-    m = jnp.dot(cat.reshape(tc * ns, -1), k, preferred_element_type=jnp.float32) + b
+    m = mm(cat.reshape(tc * ns, -1), k) + b
     m = jnp.max(m.reshape(tc, ns, -1), axis=1)                # (TC, 128)
     k, b = next_w()                                           # conv_post_0: BN, NO relu
-    out = jnp.dot(m, k, preferred_element_type=jnp.float32) + b     # (TC, D)
+    out = mm(m, k) + b                                        # (TC, D)
     out = out * jax.lax.rsqrt(jnp.maximum(jnp.sum(out * out, -1, keepdims=True), 1e-8))
 
     desc_ref[...] = out
     att_ref[...] = att
 
 
-@partial(jax.jit, static_argnames=("cfg", "tile"))
+@partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul"))
 def fused_describe_clusters(weights: List[Array], clusters: Array,
-                            cfg: ModelConfig, tile: int = 64
+                            cfg: ModelConfig, tile: int = 64,
+                            bf16_matmul: bool = False
                             ) -> Tuple[Array, Array]:
     """(B, nsample, 3) origin-centered clusters -> (descriptors (B, D),
     attention (B,)). weights from folded_weights()."""
@@ -171,7 +181,7 @@ def fused_describe_clusters(weights: List[Array], clusters: Array,
 
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
     desc, att = pl.pallas_call(
-        partial(_kernel, cfg=cfg, tc=tile, ns=ns),
+        partial(_kernel, cfg=cfg, tc=tile, ns=ns, bf16_matmul=bf16_matmul),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile, ns, 3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] + w_specs,
