@@ -91,3 +91,15 @@ def test_cluster_descriptor_server_fallback(rng):
                        keypoints=jnp.zeros((6, 1, 3)))
     np.testing.assert_allclose(np.asarray(desc), np.asarray(want.features[:, 0, :]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_bf16_matmul_close_to_f32(rng):
+    cfg = ModelConfig(num_samples=16, feature_dim=32)
+    model, variables, clusters, want = _setup(rng, cfg)
+    weights = folded_weights(variables, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        d32, _ = fused_describe_clusters(weights, jnp.asarray(clusters), cfg, tile=8)
+        d16, _ = fused_describe_clusters(weights, jnp.asarray(clusters), cfg, tile=8,
+                                         bf16_matmul=True)
+    cos = np.sum(np.asarray(d32) * np.asarray(d16), axis=-1)
+    assert np.min(cos) > 0.995
