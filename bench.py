@@ -5,9 +5,10 @@ Oxford 30k-cluster-pair benchmark (the reference computes descriptors via
 the validation path, train.py:260-315: 512 clusters packed per sess.run).
 
 Workload: real cluster geometry — 64-point radius-2.0 neighborhoods
-extracted around FPS keypoints of example_data/oxford_270.bin — batched to
-30k clusters per scan, full model forward (detector orientation + 32-D
-descriptor), float32. Steps are chained inside one jit (lax.scan with a
+extracted around FPS keypoints of all four vendored example clouds
+(examples/data: 2 Oxford scans, 2 KITTI submaps) — batched to 30k clusters
+per scan, full model forward (detector orientation + 32-D descriptor),
+float32. Steps are chained inside one jit (lax.scan with a
 per-step input perturbation) so the measurement is pure device throughput,
 not host/tunnel round-trips.
 
@@ -38,19 +39,29 @@ REPEATS = 4           # timed calls
 
 
 def build_cluster_batch():
-    """Real 64-pt cluster geometry from the Oxford example cloud."""
-    from feat3dnet_tpu.data.io import load_point_cloud
+    """Real 64-pt cluster geometry from all four vendored example clouds.
+
+    512 FPS-centered radius-2.0 neighborhoods per cloud (2 Oxford scans +
+    2 KITTI submaps) = 2048 distinct clusters with distinct padding /
+    selection-branch behavior, tiled to BATCH.
+    """
+    from feat3dnet_tpu.data.io import example_cloud_path, load_point_cloud
     from feat3dnet_tpu.ops import ball_query, farthest_point_sample, gather_points, group_points
 
-    cloud = load_point_cloud("/root/reference/example_data/oxford_270.bin", num_cols=6)
-    xyz = jnp.asarray(cloud[None, :, :3])
-    idx = farthest_point_sample(xyz, 512)
-    centers = gather_points(xyz, idx)
-    nidx, _ = ball_query(xyz, centers, 2.0, 64)
-    clusters = group_points(xyz, nidx) - centers[:, :, None, :]   # (1, 512, 64, 3)
-    clusters = np.asarray(clusters[0])                            # (512, 64, 3)
-    reps = -(-BATCH // 512)
-    tiled = np.tile(clusters, (reps, 1, 1))[:BATCH]               # (BATCH, 64, 3)
+    names = ("oxford_270.bin", "oxford_456.bin",
+             "kitti_00_001554.bin", "kitti_00_004534.bin")
+    per_cloud = []
+    for name in names:
+        cloud = load_point_cloud(example_cloud_path(name), num_cols=6)
+        xyz = jnp.asarray(cloud[None, :, :3])
+        idx = farthest_point_sample(xyz, 512)
+        centers = gather_points(xyz, idx)
+        nidx, _ = ball_query(xyz, centers, 2.0, 64)
+        clusters = group_points(xyz, nidx) - centers[:, :, None, :]  # (1,512,64,3)
+        per_cloud.append(np.asarray(clusters[0]))
+    distinct = np.concatenate(per_cloud, axis=0)                     # (2048, 64, 3)
+    reps = -(-BATCH // distinct.shape[0])
+    tiled = np.tile(distinct, (reps, 1, 1))[:BATCH]                  # (BATCH, 64, 3)
     return jnp.asarray(tiled)
 
 

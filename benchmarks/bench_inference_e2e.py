@@ -35,7 +35,7 @@ def main():
     args = p.parse_args()
 
     from feat3dnet_tpu.config import InferenceConfig, ModelConfig
-    from feat3dnet_tpu.data.io import load_point_cloud
+    from feat3dnet_tpu.data.io import example_data_dir, load_point_cloud
     from feat3dnet_tpu.inference import InferencePipeline
     from feat3dnet_tpu.models import Feat3DNet
     from feat3dnet_tpu.utils import enable_compilation_cache
@@ -46,7 +46,7 @@ def main():
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)), training=False)
     pipe = InferencePipeline(model, v, cfg, InferenceConfig())
 
-    ex = "/root/reference/example_data"
+    ex = example_data_dir()
     if os.path.isdir(ex):
         time_cloud(pipe, load_point_cloud(f"{ex}/oxford_270.bin", 6), "oxford_270")
         time_cloud(pipe, load_point_cloud(f"{ex}/kitti_00_001554.bin", 6), "kitti_00_001554")

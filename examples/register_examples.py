@@ -27,7 +27,8 @@ PAIRS = [("oxford_270", "oxford_456"),
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--data_dir", default="/root/reference/example_data")
+    p.add_argument("--data_dir", default=None,
+                   help="defaults to the vendored examples/data")
     p.add_argument("--out_dir", default="./example_results")
     p.add_argument("--tf1_checkpoint", default=None)
     p.add_argument("--plots", action="store_true")
@@ -35,9 +36,12 @@ def main():
 
     from feat3dnet_tpu.cli.infer import main as infer_main
     from feat3dnet_tpu.cli.match import main as match_main
+    from feat3dnet_tpu.data.io import example_data_dir
     from feat3dnet_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.data_dir is None:
+        args.data_dir = example_data_dir()
 
     infer_args = ["--data_dir", args.data_dir, "--output_dir", args.out_dir]
     if args.tf1_checkpoint:

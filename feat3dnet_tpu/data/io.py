@@ -18,6 +18,25 @@ from typing import Tuple
 import numpy as np
 
 
+def example_data_dir() -> str:
+    """Directory of the vendored example clouds (examples/data/*.bin).
+
+    The framework ships the reference's 4 example clouds in-repo (the
+    reference ships example_data/ in-repo too); falls back to the read-only
+    reference mount if the vendored copy is absent (e.g. a trimmed install).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    vendored = os.path.normpath(os.path.join(here, "..", "..", "examples", "data"))
+    if os.path.isfile(os.path.join(vendored, "oxford_270.bin")):
+        return vendored
+    return "/root/reference/example_data"
+
+
+def example_cloud_path(name: str) -> str:
+    """Path to a vendored example cloud, e.g. example_cloud_path('oxford_270.bin')."""
+    return os.path.join(example_data_dir(), name)
+
+
 def load_point_cloud(path: str, num_cols: int = 6) -> np.ndarray:
     """Read a point cloud as (N, num_cols) float32 (reference
     DataGenerator.load_point_cloud, datagenerator.py:162-182)."""

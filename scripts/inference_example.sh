@@ -7,7 +7,9 @@ set -e
 EXTRA=""
 if [ -n "$1" ]; then EXTRA="--tf1_checkpoint $1"; fi
 
+DATA_DIR="$(cd "$(dirname "$0")/.." && pwd)/examples/data"
+
 python -m feat3dnet_tpu.cli.infer \
-    --data_dir /root/reference/example_data \
+    --data_dir "$DATA_DIR" \
     --output_dir ./example_results \
     --randomize_points $EXTRA

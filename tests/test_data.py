@@ -46,9 +46,15 @@ def test_descriptor_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(f2, feat)
 
 
-def test_reference_example_data_loads():
-    cloud = load_point_cloud("/root/reference/example_data/oxford_270.bin", num_cols=6)
+def test_vendored_example_data_loads():
+    from feat3dnet_tpu.data.io import example_cloud_path, example_data_dir
+
+    assert "reference" not in example_data_dir(), \
+        "vendored examples/data should resolve without the reference mount"
+    cloud = load_point_cloud(example_cloud_path("oxford_270.bin"), num_cols=6)
     assert cloud.shape == (16384, 6)
+    for name in ("oxford_456.bin", "kitti_00_001554.bin", "kitti_00_004534.bin"):
+        assert load_point_cloud(example_cloud_path(name), num_cols=6).shape[1] == 6
 
 
 def test_crop_and_resample(rng):
