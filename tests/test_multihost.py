@@ -1,0 +1,116 @@
+"""Two-process jax.distributed exercise of parallel/multihost.py.
+
+No multi-host hardware exists in CI, so this spawns two REAL processes on
+one machine, each a jax.distributed participant with 2 virtual CPU devices
+(JAX's multi-controller runtime works on the CPU backend), and checks:
+
+  * multihost.initialize(coordinator, n, id) brings up the cluster;
+  * multihost.global_mesh() sees all 4 global devices from each process;
+  * a psum over the mesh reduces across process boundaries;
+  * multihost.shard_dataset gives each process a disjoint, complementary
+    slice of the epoch order.
+
+The workers run a fresh interpreter (no conftest jax pinning) so
+jax.distributed owns its own backend setup.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("GLOO_SOCKET_IFNAME", "lo")  # localhost collectives
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+sys.path.insert(0, sys.argv[3])
+
+from feat3dnet_tpu.parallel import multihost
+
+multihost.initialize(coordinator_address=coordinator, num_processes=2,
+                     process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.local_devices()) == 2
+mesh = multihost.global_mesh()
+assert mesh.devices.size == 4, mesh
+
+# Cross-process psum: each process contributes its local shard of a
+# global (4,) array; the reduction must see all 4 devices.
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sharding = NamedSharding(mesh, P("data"))
+# each process contributes (process_id+1) per local device: global sum =
+# 2*1 + 2*2 = 6 — wrong if either process's shard is missing or doubled
+local = [jnp.full((1,), float(pid + 1), jnp.float32) for _ in jax.local_devices()]
+garr = jax.make_array_from_single_device_arrays(
+    (4,), sharding, [jax.device_put(x, d) for x, d in zip(local, jax.local_devices())])
+
+total = jax.jit(lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P()))(garr)
+assert float(total) == 6.0, float(total)
+
+# Deterministic complementary data shards, no coordination traffic.
+ds = multihost.shard_dataset(sys.argv[4])
+order = ds.epoch_order(epoch=3)
+print("SHARD", pid, ",".join(map(str, order)), flush=True)
+print("OK", pid, flush=True)
+"""
+
+
+def test_two_process_distributed(tmp_path):
+    # tiny 6-cloud dataset for shard_dataset
+    lines = []
+    for i in range(6):
+        cloud = np.random.RandomState(i).randn(64, 6).astype(np.float32)
+        cloud.tofile(tmp_path / f"{i}.bin")
+        lines.append(f"{i}.bin | {(i + 1) % 6} | {(i + 2) % 6}")
+    meta = tmp_path / "train.txt"
+    meta.write_text("\n".join(lines))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coordinator, str(pid), repo, str(meta)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and f"OK {pid}" in out, \
+            f"worker {pid} failed:\n{out}"
+
+    # shards are disjoint and complementary (epoch_order interleaves by stride)
+    shards = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("SHARD"):
+                _, pid, order = line.split(" ", 2)
+                shards[int(pid)] = [int(x) for x in order.split(",")]
+    assert set(shards) == {0, 1}
+    merged = np.empty(len(shards[0]) + len(shards[1]), int)
+    merged[0::2], merged[1::2] = shards[0], shards[1]
+    assert sorted(merged.tolist()) == list(range(6))
+    assert not set(shards[0]) & set(shards[1])
