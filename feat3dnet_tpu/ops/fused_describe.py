@@ -23,7 +23,7 @@ models/feat3dnet.py; `describe_clusters` picks automatically.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -166,13 +166,20 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
     att_ref[...] = att
 
 
-@partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul"))
+@partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul", "interpret"))
 def fused_describe_clusters(weights: List[Array], clusters: Array,
                             cfg: ModelConfig, tile: int = 64,
-                            bf16_matmul: bool = False
+                            bf16_matmul: bool = False,
+                            interpret: Optional[bool] = None
                             ) -> Tuple[Array, Array]:
     """(B, nsample, 3) origin-centered clusters -> (descriptors (B, D),
-    attention (B,)). weights from folded_weights()."""
+    attention (B,)). weights from folded_weights().
+
+    interpret: force Pallas interpret mode; default auto — interpreted on
+    CPU backends (Mosaic only compiles for TPU), compiled on TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, ns, _ = clusters.shape
     assert ns == cfg.num_samples, f"cluster size {ns} != num_samples {cfg.num_samples}"
     pad = -b % tile
@@ -199,5 +206,6 @@ def fused_describe_clusters(weights: List[Array], clusters: Array,
         # default scoped limit is 16 MB)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(padded, *weights)
     return desc[:b], att[:b, 0]

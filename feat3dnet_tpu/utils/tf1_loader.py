@@ -157,6 +157,45 @@ def restore_tf1_variables(
     return out, restored, skipped
 
 
+def export_tf1_arrays(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of restore_tf1_variables: flax variables -> {tf1_name: array}.
+
+    Emits exactly the names the reference's Saver writes (train.py:127-128
+    checkpoint layout): conv+BN scopes as conv2d/{weights,biases} +
+    bn/{beta,gamma} + bn/moments/Squeeze{,_1}/ExponentialMovingAverage,
+    heads as {attention,orientation}/conv2d/{weights,biases}, and the
+    descriptor tree nested back under 'layer1'. Dense kernels (ci, co) are
+    re-expanded to 1x1 conv layout (1, 1, ci, co).
+
+    Round-tripping export -> restore is tested to be the identity — the
+    regression lock on the name mapping (tests/test_checkpoint.py).
+    """
+    p = jax_to_numpy(variables["params"])
+    s = jax_to_numpy(variables.get("batch_stats", {}))
+    arrays: Dict[str, np.ndarray] = {}
+
+    def tf_scope(top: str, name: str) -> str:
+        # this framework flattens the reference's SA-module 'layer1' level
+        return f"{top}/layer1/{name}" if top == "description" else f"{top}/{name}"
+
+    for top, scopes in p.items():
+        for name, node in scopes.items():
+            scope = tf_scope(top, name)
+            if name in ("attention", "orientation"):
+                arrays[f"{scope}/conv2d/weights"] = node["kernel"][None, None]
+                arrays[f"{scope}/conv2d/biases"] = node["bias"]
+                continue
+            arrays[f"{scope}/conv2d/weights"] = node["conv2d"]["kernel"][None, None]
+            arrays[f"{scope}/conv2d/biases"] = node["conv2d"]["bias"]
+            if "bn" in node:
+                arrays[f"{scope}/bn/beta"] = node["bn"]["bias"]
+                arrays[f"{scope}/bn/gamma"] = node["bn"]["scale"]
+                stats = s[top][name]["bn"]
+                arrays[f"{scope}/bn/moments/Squeeze/ExponentialMovingAverage"] = stats["mean"]
+                arrays[f"{scope}/bn/moments/Squeeze_1/ExponentialMovingAverage"] = stats["var"]
+    return arrays
+
+
 def jax_to_numpy(tree):
     import jax
 

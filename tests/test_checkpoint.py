@@ -132,6 +132,63 @@ def test_tf1_restore_exclude():
         new_vars["params"]["description"]["conv0"]["conv2d"]["kernel"], w)
 
 
+def test_tf1_export_restore_roundtrip():
+    """export_tf1_arrays -> restore_tf1_variables is the identity: the
+    regression lock on the name mapping in both directions."""
+    from feat3dnet_tpu.utils.tf1_loader import export_tf1_arrays
+
+    model = Feat3DNet(CFG)
+    src = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 3)), training=False)
+    src = jax.tree.map(lambda x: x + np.random.RandomState(0).randn(*x.shape)
+                       .astype(np.float32), src)
+    arrays = export_tf1_arrays(src)
+    dst = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 3)), training=False)
+    restored, names, skipped = restore_tf1_variables(dst, arrays)
+    assert not skipped
+    assert len(names) == len(arrays)
+    for a, b in zip(jax.tree.leaves(src), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tf1_export_names_match_reference_convention():
+    """Exported names must be exactly the reference Saver names (the
+    synthetic dict in _tf1_arrays_for encodes that convention)."""
+    from feat3dnet_tpu.utils.tf1_loader import export_tf1_arrays
+
+    model = Feat3DNet(CFG)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), training=False)
+    np.random.seed(0)
+    reference_names = {n for n in _tf1_arrays_for(variables)
+                       if "Adam" not in n and n not in ("global_step", "beta1_power")}
+    assert set(export_tf1_arrays(variables)) == reference_names
+
+
+def test_tf1_golden_fixture_regression():
+    """Frozen fixture: restoring tests/fixtures/tf1_golden.npz and running
+    the model must reproduce the committed descriptors/attention. Locks the
+    name mapping AND the model's numerical semantics; regenerate only
+    deliberately via scripts/make_golden_fixture.py."""
+    import os
+
+    fdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    arrays = dict(np.load(os.path.join(fdir, "tf1_golden.npz")))
+    expected = np.load(os.path.join(fdir, "tf1_golden_expected.npz"))
+
+    cfg = ModelConfig(num_clusters=8, num_samples=8, feature_dim=16,
+                      base_scale=10.0, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    fresh = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 64, 3)), training=False)
+    restored, names, skipped = restore_tf1_variables(fresh, arrays)
+    assert not skipped
+    out = model.apply(restored, jnp.asarray(expected["cloud"]), training=False,
+                      keypoints=jnp.asarray(expected["keypoints"]))
+    np.testing.assert_allclose(np.asarray(out.features), expected["features"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.end_points["attention"]),
+                               expected["attention"], rtol=1e-5, atol=1e-5)
+
+
 def test_tf1_shape_mismatch_raises():
     model = Feat3DNet(CFG)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), training=False)
