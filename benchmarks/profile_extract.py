@@ -32,7 +32,7 @@ def main():
     from feat3dnet_tpu.utils import enable_compilation_cache
     from feat3dnet_tpu.utils.profiling import timed_device_call
 
-    enable_compilation_cache()
+    enable_compilation_cache()  # persistent .jax_cache — tunnel compiles are 30-400 s
     cfg = ModelConfig(num_clusters=-1)
     icfg = InferenceConfig()
     model = Feat3DNet(cfg)

@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the latest checkpoint in --log_dir if "
                         "one exists (crash/preemption recovery)")
     p.add_argument("--summary_every_n_steps", type=int, default=20)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="mirror metrics into TensorBoard event files (log_dir/tb)")
     p.add_argument("--validate_every_n_steps", type=int, default=250)
     p.add_argument("--checkpoint_every_n_steps", type=int, default=500)
     p.add_argument("--num_devices", type=int, default=1)
@@ -149,7 +151,8 @@ def main(argv=None):
     if os.path.exists(os.path.join(val_folder, "filenames.txt")):
         validator = ClusterPairValidator(model, mcfg, val_folder, args.data_dim)
 
-    writer = MetricsWriter(os.path.join(args.log_dir, "metrics.jsonl"))
+    writer = MetricsWriter(os.path.join(args.log_dir, "metrics.jsonl"),
+                           tensorboard=args.tensorboard)
     aug_key = jax.random.PRNGKey(args.seed + 1)
 
     # host-side step mirror: state.step is step0 + i by construction, so
@@ -170,7 +173,8 @@ def main(argv=None):
             step += 1
             if step % args.summary_every_n_steps == 0:
                 loss = float(metrics["loss"])
-                writer.write(step=step, loss=loss)
+                writer.write(step=step, loss=loss,
+                             **{k: v for k, v in metrics.items() if k != "loss"})
                 print(f"\rStep {step}, Loss: {loss:.5f}", end="", flush=True)
             if step % args.checkpoint_every_n_steps == 0:
                 ckpt.save(state)

@@ -92,6 +92,11 @@ class InferenceConfig:
     keypoint_chunk: int = 8192
     num_points: int = -1              # -1 = no downsample
     randomize_points: bool = False
+    # Attention-pass neighborhoods via the Morton-sorted spatially-pruned
+    # Pallas kernel (ops/hash_grid.py; index-exact vs the dense op).
+    # None = auto: on for real TPU backends, off elsewhere (the kernel runs
+    # interpreted off-TPU — correct but slow).
+    use_hashed_grouping: Optional[bool] = None
 
 
 # Padded-size buckets for the points axis. Static shapes are mandatory under

@@ -110,34 +110,109 @@ class InferencePipeline:
             self._attention_fns[n_bucket] = fn
             return fn
 
-        attention = self._chunked_attention(n_bucket)
-        fn = jax.jit(attention)
+        if self._use_hashed():
+            impl = jax.jit(self._hashed_attention_impl(n_bucket))
+
+            def fn(variables, cloud, valid_mask):
+                return impl(variables, *self._host_sort(cloud, valid_mask))
+        else:
+            fn = jax.jit(self._chunked_attention(n_bucket))
         self._attention_fns[n_bucket] = fn
         return fn
 
+    def _use_hashed(self) -> bool:
+        flag = self.icfg.use_hashed_grouping
+        if flag is None:
+            return jax.default_backend() == "tpu"
+        return flag
+
+    def _hashed_attention_impl(self, n_bucket: int):
+        """Traceable (variables, pts4, blk_bbox, inv_perm) -> attention in
+        ORIGINAL point order, via the Morton-sorted spatially-pruned
+        grouping kernel (ops/hash_grid.py) + the detector tower on the
+        precomputed clusters. Index-exact vs the dense path (selection is
+        the ns smallest original indices, the same slot order), so the
+        attention values match the chunked XLA path. The Morton sort runs
+        on the HOST (build_sorted_cloud_host) — the cloud is host-resident
+        at pipeline entry, np.argsort is microseconds, and the XLA bitonic
+        sort at >=16k points costs tens of minutes of TPU compile time."""
+        from feat3dnet_tpu.models.feat3dnet import Feat3DNet
+        from feat3dnet_tpu.ops.hash_grid import SortedCloud, ball_query_grouped_sorted
+
+        r = float(self.mcfg.base_scale)
+        ns = self.mcfg.num_samples
+        chunk = self._chunk_size(n_bucket)
+        n_chunks = n_bucket // chunk
+
+        def attention(variables, pts4, blk_bbox, inv_perm):
+            sc = SortedCloud(pts4=pts4, blk_bbox=blk_bbox, orig_idx=None,
+                             inv_perm=inv_perm, block_size=0)
+            centers_sorted = pts4[:, :3]
+            grouped, _, _ = ball_query_grouped_sorted(sc, centers_sorted, r, ns)
+            normalized = (grouped - centers_sorted[:, None, :]) / r
+
+            def one_chunk(start):
+                g = jax.lax.dynamic_slice_in_dim(normalized, start, chunk, axis=0)
+                att, ori = self.model.apply(
+                    variables, g[None], training=False,
+                    method=Feat3DNet.detect_clusters)
+                return att[0], ori[0]
+
+            starts = jnp.arange(n_chunks) * chunk
+            att_s, ori_s = jax.lax.map(one_chunk, starts)
+            att = att_s.reshape(-1)[inv_perm]
+            ori = ori_s.reshape(-1)[inv_perm]
+            return att, ori
+
+        return attention
+
+    def _host_sort(self, cloud_j, valid_j):
+        """Host-side Morton layout for the hashed path (numpy, ~ms)."""
+        from feat3dnet_tpu.ops.hash_grid import build_sorted_cloud_host
+
+        sc = build_sorted_cloud_host(np.asarray(cloud_j[0, :, :3]),
+                                     np.asarray(valid_j[0]),
+                                     cell_size=float(self.mcfg.base_scale))
+        return jnp.asarray(sc.pts4), jnp.asarray(sc.blk_bbox), jnp.asarray(sc.inv_perm)
+
     def _extract_fn(self, n_bucket: int):
-        """Fused single-dispatch extraction: chunked attention → on-device
-        NMS → descriptors at the NMS keypoints, one executable per bucket.
-        One host round-trip per cloud instead of three (the tunnel RTT is
+        """Fused single-dispatch extraction: attention everywhere (hashed
+        fast path on TPU, chunked XLA otherwise) → on-device NMS →
+        descriptors at the NMS keypoints, one executable per bucket. One
+        host round-trip per cloud instead of three (the tunnel RTT is
         ~40 ms, comparable to the whole device computation)."""
         if n_bucket in self._extract_fns:
             return self._extract_fns[n_bucket]
 
-        attention = self._chunked_attention(n_bucket)
         icfg = self.icfg
 
-        @jax.jit
-        def fn(variables, cloud, valid_mask):
+        def tail(variables, cloud, valid_mask, att):
             xyz = cloud[..., :3]
-            att, _ = attention(variables, cloud, valid_mask)
-
             kp, kp_att, num = nms_keypoints(
                 xyz, att[None, :], icfg.nms_radius, icfg.max_keypoints,
                 icfg.min_response_ratio, valid_mask=valid_mask)
-
             out = self.model.apply(variables, cloud, training=False,
                                    keypoints=kp, valid_mask=valid_mask)
             return kp[0], out.features[0], kp_att[0], num[0]
+
+        if self._use_hashed():
+            hashed = self._hashed_attention_impl(n_bucket)
+
+            @jax.jit
+            def impl(variables, cloud, valid_mask, pts4, blk_bbox, inv_perm):
+                att, _ = hashed(variables, pts4, blk_bbox, inv_perm)
+                return tail(variables, cloud, valid_mask, att)
+
+            def fn(variables, cloud, valid_mask):
+                return impl(variables, cloud, valid_mask,
+                            *self._host_sort(cloud, valid_mask))
+        else:
+            chunked = self._chunked_attention(n_bucket)
+
+            @jax.jit
+            def fn(variables, cloud, valid_mask):
+                att, _ = chunked(variables, cloud, valid_mask)
+                return tail(variables, cloud, valid_mask, att)
 
         self._extract_fns[n_bucket] = fn
         return fn
@@ -189,14 +264,15 @@ class InferencePipeline:
         valid_j = jnp.asarray(valid)
 
         if keypoints is None and self.mesh is None:
-            # fused one-dispatch path
-            kp, feats, kp_att, num = self._extract_fn(n_bucket)(
-                self.variables, padded_j, valid_j)
+            # fused one-dispatch path; ONE bulk device->host fetch for all
+            # outputs (each np.asarray would be its own ~40 ms tunnel RTT)
+            kp, feats, kp_att, num = jax.device_get(self._extract_fn(n_bucket)(
+                self.variables, padded_j, valid_j))
             num_kp = int(num)
             return InferenceResult(
-                keypoints=np.asarray(kp[:num_kp]),
-                features=np.asarray(feats[:num_kp]),
-                attention=np.asarray(kp_att[:num_kp]),
+                keypoints=kp[:num_kp],
+                features=feats[:num_kp],
+                attention=kp_att[:num_kp],
                 num_keypoints=num_kp,
             )
 
@@ -214,13 +290,14 @@ class InferencePipeline:
             kp_np = jnp.asarray(keypoints[None, :, :3].astype(np.float32))
             num_kp = k
 
-        feats, att_at_kp = self._describe_fn(n_bucket, n_kp)(
-            self.variables, padded_j, valid_j, kp_np)
+        feats, att_at_kp, kp_host = jax.device_get(
+            self._describe_fn(n_bucket, n_kp)(
+                self.variables, padded_j, valid_j, kp_np) + (kp_np[0],))
 
         return InferenceResult(
-            keypoints=np.asarray(kp_np[0][:num_kp]),
-            features=np.asarray(feats[:num_kp]),
-            attention=np.asarray(att_at_kp[:num_kp]),
+            keypoints=kp_host[:num_kp],
+            features=feats[:num_kp],
+            attention=att_at_kp[:num_kp],
             num_keypoints=num_kp,
         )
 

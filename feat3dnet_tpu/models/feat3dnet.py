@@ -172,7 +172,24 @@ class Feat3DNet(nn.Module):
     cfg: ModelConfig
     bn_axis_name: Optional[str] = None
 
-    @nn.compact
+    def setup(self):
+        self.detector = Detector(self.cfg, bn_axis_name=self.bn_axis_name,
+                                 name="detection")
+        self.descriptor = Descriptor(self.cfg, bn_axis_name=self.bn_axis_name,
+                                     name="description")
+
+    def detect_clusters(self, grouped: Array, training: bool = False
+                        ) -> Tuple[Array, Array]:
+        """Detector tower on precomputed normalized clusters (B, M, ns, 3)
+        -> (attention (B, M), orientation (B, M)). Used by the fast
+        inference path, which groups neighborhoods with the spatially-
+        pruned Pallas kernel (ops/hash_grid.py) outside the module."""
+        return self.detector(grouped, training)
+
+    def describe_clusters(self, grouped: Array, training: bool = False) -> Array:
+        """Descriptor tower on precomputed rotated clusters -> (B, M, D)."""
+        return self.descriptor(grouped, training)
+
     def __call__(
         self,
         cloud: Array,                      # (B, N, >=3); only xyz used
@@ -195,8 +212,7 @@ class Feat3DNet(nn.Module):
         # --- Detection ---------------------------------------------------
         grouped, det_idx, det_cnt = _group_normalized(
             xyz, centers, cfg.base_scale, cfg.num_samples, valid_mask)
-        attention, orientation = Detector(
-            cfg, bn_axis_name=self.bn_axis_name, name="detection")(grouped, training)
+        attention, orientation = self.detector(grouped, training)
         end_points["keypoints"] = centers
         end_points["attention"] = attention
         end_points["orientation"] = orientation
@@ -207,8 +223,7 @@ class Feat3DNet(nn.Module):
         grouped2, _, desc_cnt = _group_normalized(
             xyz, centers, cfg.base_scale, cfg.num_samples, valid_mask,
             orientations=desc_orientation)
-        features = Descriptor(
-            cfg, bn_axis_name=self.bn_axis_name, name="description")(grouped2, training)
+        features = self.descriptor(grouped2, training)
         end_points["desc_cnt"] = desc_cnt
 
         return Feat3DNetOutput(

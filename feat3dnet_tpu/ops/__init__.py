@@ -18,6 +18,10 @@ Reference (cwlroda/3DFeatNet) op inventory and where each lives here:
   prob_sample           (tf_sampling_g.cu:7-104)
       -> sampling.prob_sample (cumsum + searchsorted)
 
+Beyond the reference: hash_grid.hashed_ball_query — an index-exact
+spatially-pruned ball query (Morton-sorted blocks + bbox culling, Pallas)
+for dense-cloud inference, O(M·local density) instead of O(M·N·ns).
+
 All ops take fixed-shape padded tensors with optional validity masks; there is
 no ragged data anywhere. See each module for the semantic-parity notes.
 """
@@ -29,6 +33,8 @@ from feat3dnet_tpu.ops.neighborhoods import (
     pairwise_sqdist,
 )
 from feat3dnet_tpu.ops.fps import farthest_point_sample
+from feat3dnet_tpu.ops.hash_grid import (ball_query_grouped_sorted,
+                                         build_sorted_cloud, hashed_ball_query)
 from feat3dnet_tpu.ops.sampling import prob_sample
 from feat3dnet_tpu.ops.nms import nms_keypoints
 from feat3dnet_tpu.ops.pointnet import sample_and_group, sample_and_group_all, sample_points
@@ -45,4 +51,7 @@ __all__ = [
     "sample_points",
     "sample_and_group",
     "sample_and_group_all",
+    "hashed_ball_query",
+    "ball_query_grouped_sorted",
+    "build_sorted_cloud",
 ]

@@ -1,0 +1,441 @@
+"""Spatially-pruned exact ball query + group (Pallas).
+
+The dense ball query (ops/neighborhoods.py) is VPU-bound at O(M·N·ns)
+compare work — 2.3 s for the attention pass over a 131k-point submap. This
+module cuts the work by spatial locality while staying INDEX-EXACT vs the
+reference CUDA semantics (tf_grouping_g.cu:3-52: per center, the nsample
+in-ball points with the smallest ORIGINAL indices — which is what "first
+nsample in scan order" selects — repeat-pad with the first in-ball index,
+per-center nearest fallback for empty balls):
+
+  1. sort points by the Morton code of their grid cell (cell = radius), so
+     blocks of L consecutive points are compact spatial bricks; within each
+     block, re-sort by original index (so in-block candidate order is
+     original-index order);
+  2. a Pallas kernel streams point-blocks per center-tile with an exact
+     per-(tile, block) bounding-box distance cull — work only happens where
+     geometry allows neighbors;
+  3. per center, a running merge buffer holds the ns smallest in-ball
+     ORIGINAL indices (+ coords) seen so far; each surviving block is
+     merged via rank arithmetic (ascending-key merge: positions computed
+     with two broadcast compares and an in-block prefix count) — one-hot
+     placement matmuls ride the MXU. No capacity caps: the buffer is
+     always the true running top-ns, so saturated balls (cnt > ns — 83% of
+     real Oxford/KITTI balls) stay exact.
+
+The Morton cell size does not affect correctness (the bbox cull is exact
+geometry); it only tunes block compactness. Invalid points are moved to
++1e9 so they sort to the tail, their blocks' bboxes cull away, and their
+distances can never pass the radius test.
+
+Centers must arrive spatially ordered for the culling to pay (sort them
+with `sort_centers`, or reuse the cloud's own order — the attention pass
+uses centers == sorted points). Outputs are in the given center order.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_FAR = 1.0e9          # coordinate sentinel for invalid points
+# empty-slot key sentinel: finite (inf would make the one-hot placement
+# matmuls produce inf*0 = nan), far above any original index (< 2^24)
+_BIG = 1.0e30
+
+
+def _morton30(c: Array) -> Array:
+    """Interleave three 10-bit ints (N, 3) -> 30-bit Morton codes (N,)."""
+
+    def spread(x):
+        x = x.astype(jnp.uint32)
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return (spread(c[:, 0]) | (spread(c[:, 1]) << 1)
+            | (spread(c[:, 2]) << 2)).astype(jnp.int32)
+
+
+@dataclasses.dataclass
+class SortedCloud:
+    """Morton-block layout of one cloud (all arrays static-shaped)."""
+
+    pts4: Array       # (Np, 4) f32: xyz (invalid -> 1e9) | original index
+    blk_bbox: Array   # (NB, 8) f32: min xyz | max xyz | pad
+    orig_idx: Array   # (Np,) int32 original index per sorted position
+    inv_perm: Array   # (N,) int32: sorted position of each original point
+    block_size: int
+
+
+def build_sorted_cloud(xyz: Array, valid_mask: Optional[Array] = None,
+                       cell_size: float = 2.0, block_size: int = 256
+                       ) -> SortedCloud:
+    """Morton-sort one (N, 3) cloud into culling blocks (jit-safe)."""
+    n = xyz.shape[0]
+    L = block_size
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), bool)
+    pts = jnp.where(valid_mask[:, None], xyz.astype(jnp.float32), _FAR)
+
+    finite_min = jnp.min(jnp.where(valid_mask[:, None], pts, _FAR), axis=0)
+    cell = jnp.clip(((pts - finite_min) / cell_size), 0, 1023).astype(jnp.int32)
+    key = _morton30(cell)
+    # invalid points past every real code (Morton < 2^30)
+    key = jnp.where(valid_mask, key, jnp.int32(1 << 30))
+
+    order1 = jnp.argsort(key, stable=True).astype(jnp.int32)      # (N,)
+    pad = -n % L
+    order1 = jnp.pad(order1, (0, pad))                            # pad dups of slot 0
+    np_ = n + pad
+    # within-block re-sort by ORIGINAL index so in-block candidate order is
+    # original-index order (padded tail slots index point 0 but are pushed
+    # last within their block by the +n offset and masked via coords below)
+    blk = jnp.arange(np_, dtype=jnp.int32) // L
+    pad_flag = jnp.arange(np_, dtype=jnp.int32) >= n
+    key2 = blk * jnp.int32(2 * np_) + order1 + jnp.where(pad_flag, jnp.int32(np_), 0)
+    order2 = jnp.argsort(key2, stable=True).astype(jnp.int32)
+    final_orig = order1[order2]                                   # (Np,)
+    sorted_pts = pts[final_orig]                                  # (Np, 3)
+    sorted_pts = jnp.where(pad_flag[order2][:, None], _FAR, sorted_pts)
+
+    pts4 = jnp.concatenate(
+        [sorted_pts, final_orig.astype(jnp.float32)[:, None]], axis=1)
+
+    bmin = jnp.min(sorted_pts.reshape(-1, L, 3), axis=1)
+    bmax = jnp.max(sorted_pts.reshape(-1, L, 3), axis=1)
+    blk_bbox = jnp.concatenate(
+        [bmin, bmax, jnp.zeros((bmin.shape[0], 2), jnp.float32)], axis=1)
+
+    # pad slots alias original index 0 — scatter them to a dummy slot so
+    # they cannot clobber inv_perm[0]
+    scatter_tgt = jnp.where(pad_flag[order2], jnp.int32(np_), final_orig)
+    inv_perm = jnp.zeros((np_ + 1,), jnp.int32).at[scatter_tgt].set(
+        jnp.arange(np_, dtype=jnp.int32))[:n]
+    return SortedCloud(pts4=pts4, blk_bbox=blk_bbox,
+                       orig_idx=final_orig, inv_perm=inv_perm, block_size=L)
+
+
+def build_sorted_cloud_host(xyz, valid_mask=None, cell_size: float = 2.0,
+                            block_size: int = 256) -> SortedCloud:
+    """Numpy mirror of build_sorted_cloud for host-resident clouds.
+
+    The XLA bitonic sort at >=16k points compiles for tens of minutes on
+    the remote TPU compile service; np.argsort is microseconds and the
+    cloud is on the host anyway at pipeline entry. Produces bit-identical
+    layout to the device version (same IEEE ops, both sorts stable) —
+    asserted by tests/test_hash_bq.py."""
+    import numpy as np
+
+    xyz = np.asarray(xyz, np.float32)
+    n = xyz.shape[0]
+    L = block_size
+    if valid_mask is None:
+        valid_mask = np.ones((n,), bool)
+    valid_mask = np.asarray(valid_mask, bool)
+    pts = np.where(valid_mask[:, None], xyz, np.float32(_FAR))
+
+    finite_min = np.min(np.where(valid_mask[:, None], pts, np.float32(_FAR)), axis=0)
+    cell = np.clip((pts - finite_min) / np.float32(cell_size), 0, 1023).astype(np.int32)
+
+    def spread(x):
+        x = x.astype(np.uint32)
+        x = (x | (x << 16)) & np.uint32(0x030000FF)
+        x = (x | (x << 8)) & np.uint32(0x0300F00F)
+        x = (x | (x << 4)) & np.uint32(0x030C30C3)
+        x = (x | (x << 2)) & np.uint32(0x09249249)
+        return x
+
+    key = (spread(cell[:, 0]) | (spread(cell[:, 1]) << np.uint32(1))
+           | (spread(cell[:, 2]) << np.uint32(2))).astype(np.int64)
+    key[~valid_mask] = 1 << 30
+
+    order1 = np.argsort(key, kind="stable").astype(np.int32)
+    pad = -n % L
+    order1 = np.pad(order1, (0, pad))
+    np_ = n + pad
+    blk = np.arange(np_, dtype=np.int64) // L
+    pad_flag = np.arange(np_) >= n
+    key2 = blk * (2 * np_) + order1 + np.where(pad_flag, np_, 0)
+    order2 = np.argsort(key2, kind="stable")
+    final_orig = order1[order2]
+    sorted_pts = pts[final_orig]
+    sorted_pts[pad_flag[order2]] = np.float32(_FAR)
+
+    pts4 = np.concatenate(
+        [sorted_pts, final_orig.astype(np.float32)[:, None]], axis=1)
+    bmin = sorted_pts.reshape(-1, L, 3).min(axis=1)
+    bmax = sorted_pts.reshape(-1, L, 3).max(axis=1)
+    blk_bbox = np.concatenate(
+        [bmin, bmax, np.zeros((bmin.shape[0], 2), np.float32)], axis=1)
+
+    inv_perm = np.zeros((np_,), np.int32)
+    real = ~pad_flag[order2]
+    inv_perm[final_orig[real]] = np.arange(np_, dtype=np.int32)[real]
+    return SortedCloud(pts4=pts4, blk_bbox=blk_bbox,
+                       orig_idx=final_orig.astype(np.int32),
+                       inv_perm=inv_perm[:n], block_size=L)
+
+
+def _tile_bbox(centers: Array, tile: int) -> Array:
+    """(Mp, 3) -> (Mp/T, 8) per-tile bounding boxes."""
+    c = centers.reshape(-1, tile, 3)
+    return jnp.concatenate(
+        [jnp.min(c, axis=1), jnp.max(c, axis=1),
+         jnp.zeros((c.shape[0], 2), jnp.float32)], axis=1)
+
+
+def _bq_kernel(hit_ref, ctr_ref, pts_ref,
+               top_ref, cnt_ref, *, r2: float, tc: int, L: int, ns: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        top_ref[...] = jnp.concatenate(
+            [jnp.zeros((tc, ns, 3), jnp.float32),
+             jnp.full((tc, ns, 1), _BIG, jnp.float32)], axis=-1)
+        cnt_ref[...] = jnp.zeros((tc, 1), jnp.float32)
+
+    # bbox cull decision, precomputed in XLA and bit-packed (SMEM scalar)
+    word = hit_ref[i, j // 32]
+    hit = ((word >> (j % 32)) & 1) == 1
+
+    @pl.when(hit)
+    def _process():
+        pts = pts_ref[...]                                   # (L, 4)
+        ctr = ctr_ref[...]                                   # (TC, 4)
+        d2 = jnp.zeros((tc, L), jnp.float32)
+        for d in range(3):
+            dd = ctr[:, d:d + 1] - pts[:, d:d + 1].reshape(1, L)
+            d2 = d2 + dd * dd
+        in_ball = d2 < r2                                    # (TC, L)
+
+        @pl.when(jnp.any(in_ball))
+        def _merge():
+            ib = in_ball.astype(jnp.float32)
+            orig_row = pts[:, 3:4].reshape(1, L)
+            key = jnp.where(in_ball, orig_row, _BIG)         # (TC, L) ascending where finite
+            # in-block rank among candidates: inclusive prefix count (MXU)
+            tri = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+                   <= jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+                   ).astype(jnp.float32)
+            rank_b = jnp.dot(ib, tri, preferred_element_type=jnp.float32)
+
+            top = top_ref[...]                               # (TC, ns, 4)
+            topkey = top[:, :, 3:4].reshape(tc, ns)          # (TC, ns) ascending
+            # merged 1-based position of candidate l: #top entries smaller
+            # + in-block rank (keys are unique original indices)
+            smaller_top = jnp.sum(
+                (topkey[:, None, :] < key[:, :, None]).astype(jnp.float32),
+                axis=2)                                      # (TC, L)
+            pos_b = smaller_top + rank_b                     # (TC, L)
+            # merged 1-based position of buffer entry s: s+1 + #cands smaller
+            smaller_cand = jnp.sum(
+                (key[:, None, :] < topkey[:, :, None]).astype(jnp.float32),
+                axis=2)                                      # (TC, ns)
+            slot_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (tc, ns), 1).astype(jnp.float32)
+            pos_t = slot_iota + 1.0 + smaller_cand           # (TC, ns)
+
+            # One-hot placements. Routed VALUES must stay exact f32, and
+            # TC-batched dots compile pathologically in Mosaic (per-batch
+            # unrolling x bf16x3 passes), so: the buffer permutation is an
+            # exact VPU broadcast-sum, and the candidate placement is ONE
+            # unbatched matmul at HIGHEST precision (bf16x3 reconstructs
+            # f32 exactly when one factor is 0/1).
+            one_t = (jnp.abs(pos_t[:, :, None]
+                             - (slot_iota + 1.0)[:, None, :]) < 0.5
+                     ).astype(jnp.float32)                   # (TC, ns, ns')
+            kept = jnp.sum(one_t[:, :, :, None] * top[:, :, None, :],
+                           axis=1)                           # (TC, ns', 4)
+
+            one_b = ((jnp.abs(pos_b[:, None, :]
+                              - (slot_iota + 1.0)[:, :, None]) < 0.5)
+                     .astype(jnp.float32) * ib[:, None, :])  # (TC, ns', L)
+            added = jnp.dot(
+                one_b.reshape(tc * ns, L), pts,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(tc, ns, 4)                             # (TC, ns', 4)
+            merged = kept + added
+            # slots past the merged fill level received no one-hot hit and
+            # read 0 — restore the sentinel on their key channel
+            cnt_new = cnt_ref[...] + jnp.sum(ib, axis=1, keepdims=True)
+            filled = slot_iota < jnp.minimum(cnt_new, float(ns))   # (TC, ns)
+            merged_key = jnp.where(filled, merged[:, :, 3:4].reshape(tc, ns), _BIG)
+            top_ref[...] = jnp.concatenate(
+                [merged[:, :, :3], merged_key[:, :, None]], axis=-1)
+            cnt_ref[...] = cnt_new
+
+
+@partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
+def _bq_sorted_raw(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
+                   radius: float, nsample: int, tile: int = 128,
+                   interpret: Optional[bool] = None):
+    """Kernel driver: centers (M, 3) (spatially ordered) -> raw merge buffer
+    (M, ns, 4) [xyz | orig-or-inf] and uncapped counts (M,)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m = centers.shape[0]
+    L = sc_pts4.shape[0] // sc_blk_bbox.shape[0]
+    ns = nsample
+    tc = tile
+    pad = -m % tc
+    centers_p = jnp.pad(centers.astype(jnp.float32), ((0, pad), (0, 0)),
+                        constant_values=_FAR)
+    mp = m + pad
+    ctr4 = jnp.concatenate(
+        [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
+    tiles = mp // tc
+    nb = sc_blk_bbox.shape[0]
+    tbox = _tile_bbox(centers_p, tc)
+
+    # exact bbox-to-bbox gap test, vectorized in XLA, bit-packed for SMEM
+    r2 = float(radius) ** 2
+    lo = sc_blk_bbox[None, :, :3] - tbox[:, None, 3:6]       # (Ti, NB, 3)
+    hi = tbox[:, None, :3] - sc_blk_bbox[None, :, 3:6]
+    gap = jnp.maximum(jnp.maximum(lo, hi), 0.0)
+    hit = jnp.sum(gap * gap, axis=-1) < r2                   # (Ti, NB)
+    nbw = -(-nb // 32)
+    hit_p = jnp.pad(hit, ((0, 0), (0, nbw * 32 - nb)))
+    bits = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
+    hitmask = jnp.sum(
+        hit_p.reshape(tiles, nbw, 32).astype(jnp.int32) * bits[None, None, :],
+        axis=-1).astype(jnp.int32)                           # (Ti, NBW)
+
+    top, cnt = pl.pallas_call(
+        partial(_bq_kernel, r2=r2, tc=tc, L=L, ns=ns),
+        grid=(tiles, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tc, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tc, ns, 4), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, ns, 4), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(hitmask, ctr4, sc_pts4)
+    return top[:m], cnt[:m, 0]
+
+
+def ball_query_grouped_sorted(
+    sc: SortedCloud, centers: Array, radius: float, nsample: int,
+    tile: int = 128, interpret: Optional[bool] = None,
+) -> Tuple[Array, Array, Array]:
+    """Exact grouped ball query against a Morton-sorted cloud.
+
+    Args:
+      sc: build_sorted_cloud output.
+      centers: (M, 3) query centers, already spatially ordered (e.g. the
+        sorted points themselves, or sort_centers output).
+
+    Returns:
+      grouped: (M, ns, 3) selected ABSOLUTE point coords, repeat-padded
+        with slot 0 per reference semantics (empty balls: slot coords are
+        the center itself — callers needing the reference's nearest-point
+        fallback use `hashed_ball_query`, which restores it exactly).
+      idx: (M, ns) int32 original point indices (0 where the ball is empty).
+      cnt: (M,) int32 in-ball counts capped at ns (reference pts_cnt).
+    """
+    top, cnt_raw = _bq_sorted_raw(sc.pts4, sc.blk_bbox, centers,
+                                  float(radius), nsample, tile=tile,
+                                  interpret=interpret)
+    ns = nsample
+    cnt = jnp.minimum(cnt_raw, ns).astype(jnp.int32)              # (M,)
+    slot = jnp.arange(ns, dtype=jnp.int32)
+    filled = slot[None, :] < cnt[:, None]                         # (M, ns)
+    empty = (cnt == 0)[:, None]
+
+    key = top[:, :, 3]
+    idx0 = key[:, 0:1]
+    idx = jnp.where(filled, key, idx0)                            # repeat-pad
+    idx = jnp.where(empty, 0.0, idx).astype(jnp.int32)
+
+    xyz0 = top[:, 0:1, :3]
+    grouped = jnp.where(filled[..., None], top[:, :, :3], xyz0)
+    grouped = jnp.where(empty[..., None],
+                        centers.astype(jnp.float32)[:, None, :], grouped)
+    return grouped, idx, cnt
+
+
+def sort_centers(centers: Array, valid: Optional[Array] = None,
+                 cell_size: float = 2.0) -> Tuple[Array, Array]:
+    """Spatially order arbitrary centers; returns (sorted_centers, order)."""
+    c = centers.astype(jnp.float32)
+    if valid is not None:
+        c = jnp.where(valid[:, None], c, _FAR)
+    cell = jnp.clip((c - jnp.min(c, axis=0)) / cell_size, 0, 1023).astype(jnp.int32)
+    order = jnp.argsort(_morton30(cell), stable=True).astype(jnp.int32)
+    return c[order], order
+
+
+@partial(jax.jit, static_argnames=("radius", "nsample", "cell_size",
+                                   "block_size", "tile", "interpret"))
+def hashed_ball_query(
+    xyz: Array, centers: Array, radius: float, nsample: int,
+    valid_mask: Optional[Array] = None, center_valid: Optional[Array] = None,
+    cell_size: Optional[float] = None, block_size: int = 256,
+    tile: int = 128, interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Drop-in exact replacement for ops.ball_query (B=1, scalar radius).
+
+    Same contract as ops.neighborhoods.ball_query — (idx (B,M,ns) int32,
+    cnt (B,M) int32), index-exact including first-ns-by-original-index on
+    saturated balls, repeat-pad, and the per-center nearest-point fallback
+    for empty balls (restored via a lax.cond dense pass that only executes
+    when some valid center has an empty ball — never in the centers-are-
+    cloud-points paths).
+    """
+    assert xyz.ndim == 3 and xyz.shape[0] == 1, "hashed path is per-cloud (B=1)"
+    cell = float(radius) if cell_size is None else cell_size
+    x = xyz[0]
+    c = centers[0]
+    m = c.shape[0]
+    vm = None if valid_mask is None else valid_mask[0]
+    sc = build_sorted_cloud(x, vm, cell_size=cell, block_size=block_size)
+    c_sorted, order = sort_centers(
+        c, None if center_valid is None else center_valid[0], cell_size=cell)
+    _, idx_s, cnt_s = ball_query_grouped_sorted(
+        sc, c_sorted, radius, nsample, tile=tile, interpret=interpret)
+    inv = jnp.zeros((m,), jnp.int32).at[order].set(jnp.arange(m, dtype=jnp.int32))
+    idx = idx_s[inv]
+    cnt = cnt_s[inv]
+
+    # exact nearest-point fallback for empty balls (rare: only external
+    # keypoints can have them; compiled as a cond so it costs nothing when
+    # no valid center is empty)
+    cv = jnp.ones((m,), bool) if center_valid is None else center_valid[0]
+    need = jnp.any((cnt == 0) & cv)
+
+    def with_fallback(idx):
+        d2 = jnp.zeros((m, x.shape[0]), jnp.float32)
+        for d in range(3):
+            dd = c[:, d:d + 1] - x[None, :, d]
+            d2 = d2 + dd * dd
+        if vm is not None:
+            d2 = jnp.where(vm[None, :], d2, jnp.inf)
+        nearest = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        return jnp.where((cnt == 0)[:, None], nearest[:, None], idx)
+
+    idx = jax.lax.cond(need, with_fallback, lambda i: i, idx)
+    return idx[None], cnt[None]

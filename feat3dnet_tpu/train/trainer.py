@@ -110,6 +110,7 @@ def make_train_step(
             a_feat, p_feat, n_feat = jnp.split(out.features, 3, axis=0)
             a_att = jnp.split(out.attention, 3, axis=0)[0] if use_attention else None
             loss, aux = alignment_triplet_loss(a_feat, p_feat, n_feat, a_att, margin)
+            aux["det_cnt"] = out.end_points["det_cnt"]
             return loss, (mutated.get("batch_stats", {}), aux)
 
         (loss, (batch_stats, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -124,9 +125,19 @@ def make_train_step(
             batch_stats=batch_stats,
             opt_state=opt_state,
         )
+        # histogram summaries, computed on device (the reference's TB
+        # histograms: pts_cnt pointnet_common.py:41, normalized_attention
+        # feat3dnet.py:346)
+        from feat3dnet_tpu.utils.metrics_writer import device_histogram
+
         metrics = {"loss": loss,
                    "sum_positive": jnp.mean(aux["sum_positive"]),
-                   "sum_negative": jnp.mean(aux["sum_negative"])}
+                   "sum_negative": jnp.mean(aux["sum_negative"]),
+                   "hist_det_cnt": device_histogram(
+                       aux["det_cnt"].astype(jnp.float32))}
+        if "normalized_attention" in aux:
+            metrics["hist_normalized_attention"] = device_histogram(
+                aux["normalized_attention"])
         return new_state, metrics
 
     return step

@@ -1,0 +1,164 @@
+"""Spatially-pruned ball query (ops/hash_grid.py) vs the dense exact op.
+
+The dense ops.ball_query is itself oracle-tested against the reference CUDA
+semantics (tests/test_ops.py), so exact equality here transitively proves
+the hashed path index-exact — including saturated balls (cnt > nsample,
+83% of real Oxford balls), where selection must be the ns smallest
+ORIGINAL indices. Kernels run in Pallas interpret mode on the CPU mesh.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from feat3dnet_tpu.ops import ball_query
+from feat3dnet_tpu.ops.hash_grid import (ball_query_grouped_sorted,
+                                         build_sorted_cloud, hashed_ball_query,
+                                         sort_centers)
+
+
+def _clouds(rng, n, spread=20.0, clusters=0):
+    """Random cloud; optionally with dense clusters to saturate balls."""
+    pts = (rng.rand(n, 3).astype(np.float32) - 0.5) * spread
+    if clusters:
+        k = n // 3
+        centers = (rng.rand(clusters, 3).astype(np.float32) - 0.5) * spread
+        which = rng.randint(0, clusters, k)
+        pts[:k] = centers[which] + rng.randn(k, 3).astype(np.float32) * 0.5
+    return pts
+
+
+def _check_equal(xyz, centers, radius, ns, valid=None, center_valid=None):
+    idx_ref, cnt_ref = ball_query(
+        jnp.asarray(xyz[None]), jnp.asarray(centers[None]), radius, ns,
+        valid_mask=None if valid is None else jnp.asarray(valid[None]))
+    idx_h, cnt_h = hashed_ball_query(
+        jnp.asarray(xyz[None]), jnp.asarray(centers[None]), radius, ns,
+        valid_mask=None if valid is None else jnp.asarray(valid[None]),
+        center_valid=None if center_valid is None else jnp.asarray(center_valid[None]),
+        block_size=64, tile=16)
+    np.testing.assert_array_equal(np.asarray(cnt_h), np.asarray(cnt_ref))
+    np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_ref))
+
+
+def test_exact_vs_dense_random(rng):
+    xyz = _clouds(rng, 500)
+    centers = xyz[rng.choice(500, 100, replace=False)]
+    _check_equal(xyz, centers, 2.0, 16)
+
+
+def test_exact_vs_dense_saturated(rng):
+    """Dense clusters: most balls have cnt > nsample — selection must be
+    the ns smallest original indices (the reference's scan order)."""
+    xyz = _clouds(rng, 600, spread=8.0, clusters=5)
+    centers = xyz[rng.choice(600, 80, replace=False)]
+    idx, cnt = ball_query(jnp.asarray(xyz[None]), jnp.asarray(centers[None]), 2.0, 8)
+    assert np.mean(np.asarray(cnt) == 8) > 0.5, "test cloud should saturate"
+    _check_equal(xyz, centers, 2.0, 8)
+
+
+def test_exact_vs_dense_valid_mask(rng):
+    xyz = _clouds(rng, 400, spread=10.0)
+    valid = rng.rand(400) > 0.3
+    centers = xyz[rng.choice(400, 60, replace=False)]
+    _check_equal(xyz, centers, 2.0, 8, valid=valid)
+
+
+def test_empty_ball_nearest_fallback(rng):
+    """External keypoints far from every point: per-center nearest."""
+    xyz = _clouds(rng, 300, spread=10.0)
+    centers = np.stack([xyz[0] + 0.1,
+                        np.array([500.0, 500.0, 500.0], np.float32),
+                        np.array([-300.0, 200.0, 0.0], np.float32)])
+    _check_equal(xyz, centers, 1.0, 8)
+
+
+def test_grouped_coords_match_indices(rng):
+    """grouped coords from the kernel == xyz gathered at the indices."""
+    xyz = _clouds(rng, 500, spread=12.0, clusters=4)
+    sc = build_sorted_cloud(jnp.asarray(xyz), block_size=64)
+    centers_sorted, order = sort_centers(jnp.asarray(xyz[:128]))
+    grouped, idx, cnt = ball_query_grouped_sorted(sc, centers_sorted, 2.0, 8, tile=16)
+    grouped, idx, cnt = map(np.asarray, (grouped, idx, cnt))
+    nonempty = cnt > 0
+    np.testing.assert_allclose(grouped[nonempty], xyz[idx[nonempty]], rtol=0, atol=0)
+
+
+def test_block_size_and_tile_invariance(rng):
+    xyz = _clouds(rng, 300, spread=6.0, clusters=3)
+    centers = xyz[:50]
+    ref = None
+    for bs, t in ((32, 8), (64, 32), (128, 16)):
+        idx, cnt = hashed_ball_query(
+            jnp.asarray(xyz[None]), jnp.asarray(centers[None]), 2.0, 8,
+            block_size=bs, tile=t)
+        if ref is None:
+            ref = (np.asarray(idx), np.asarray(cnt))
+        else:
+            np.testing.assert_array_equal(np.asarray(idx), ref[0])
+            np.testing.assert_array_equal(np.asarray(cnt), ref[1])
+
+
+def test_offset_cloud(rng):
+    """Clouds far from the origin (the 51 km validation-packing regime)."""
+    xyz = _clouds(rng, 300, spread=10.0) + np.float32(5000.0)
+    centers = xyz[:40]
+    _check_equal(xyz, centers, 2.0, 8)
+
+
+def test_pipeline_hashed_attention_matches_xla(rng):
+    """The pipeline's hashed attention pass (Pallas grouping + detector on
+    precomputed clusters) must reproduce the chunked XLA path's attention
+    exactly — same neighborhoods, same slot order, same math."""
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), training=False)
+    v = jax.tree.map(lambda x: x + 0.1 * rng.randn(*x.shape).astype(np.float32), v)
+
+    n, nb = 700, 1024
+    xyz = _clouds(rng, n, spread=15.0, clusters=4)
+    padded = np.zeros((1, nb, 3), np.float32)
+    padded[0, :n] = xyz
+    valid = np.zeros((1, nb), bool)
+    valid[0, :n] = True
+    cloud, valid_j = jnp.asarray(padded), jnp.asarray(valid)
+
+    pipe_h = InferencePipeline(model, v, cfg,
+                               InferenceConfig(use_hashed_grouping=True,
+                                               keypoint_chunk=256))
+    pipe_x = InferencePipeline(model, v, cfg,
+                               InferenceConfig(use_hashed_grouping=False,
+                                               keypoint_chunk=256))
+    att_h, _ = pipe_h._attention_fn(nb)(v, cloud, valid_j)
+    att_x, _ = pipe_x._attention_fn(nb)(v, cloud, valid_j)
+    np.testing.assert_allclose(np.asarray(att_h)[:n], np.asarray(att_x)[:n],
+                               rtol=1e-5, atol=1e-6)
+
+    # full extract end-to-end: same keypoints, same descriptors
+    res_h = pipe_h.extract(xyz)
+    res_x = pipe_x.extract(xyz)
+    assert res_h.num_keypoints == res_x.num_keypoints
+    np.testing.assert_allclose(res_h.keypoints, res_x.keypoints, atol=1e-6)
+    np.testing.assert_allclose(res_h.features, res_x.features, rtol=1e-4, atol=1e-5)
+
+
+def test_host_sort_matches_device_sort(rng):
+    """build_sorted_cloud_host (numpy, pipeline path) must produce the
+    exact same layout as the in-jit device version."""
+    from feat3dnet_tpu.ops.hash_grid import build_sorted_cloud_host
+
+    xyz = _clouds(rng, 500, spread=25.0, clusters=3)
+    valid = rng.rand(500) > 0.2
+    sc_d = build_sorted_cloud(jnp.asarray(xyz), jnp.asarray(valid), block_size=64)
+    sc_h = build_sorted_cloud_host(xyz, valid, block_size=64)
+    np.testing.assert_array_equal(np.asarray(sc_d.pts4), sc_h.pts4)
+    np.testing.assert_array_equal(np.asarray(sc_d.blk_bbox), sc_h.blk_bbox)
+    np.testing.assert_array_equal(np.asarray(sc_d.orig_idx), sc_h.orig_idx)
+    np.testing.assert_array_equal(np.asarray(sc_d.inv_perm), sc_h.inv_perm)

@@ -50,3 +50,33 @@ def test_trainer_learns(rng):
         state, metrics = trainer.fit(state, iter(fixed), num_steps=2)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_histogram_metrics_and_tensorboard(rng, tmp_path):
+    """Train-step metrics carry the reference's TB-histogram equivalents
+    (pts_cnt -> hist_det_cnt, normalized_attention) and MetricsWriter
+    serializes them to JSONL + real TensorBoard event files."""
+    from feat3dnet_tpu.utils.metrics_writer import MetricsWriter
+
+    model = Feat3DNet(CFG)
+    trainer = Trainer(model, CFG, TCFG)
+    state = trainer.init(jax.random.PRNGKey(0))
+    state, metrics = trainer.fit(state, _iter(rng, 2), num_steps=2)
+
+    for key in ("hist_det_cnt", "hist_normalized_attention"):
+        h = metrics[key]
+        counts = np.asarray(h["counts"])
+        assert counts.sum() == int(np.asarray(h["num"]))
+        assert float(np.asarray(h["lo"])) <= float(np.asarray(h["hi"]))
+    # det_cnt histogram covers [0, nsample]
+    assert 0 <= float(np.asarray(metrics["hist_det_cnt"]["hi"])) <= CFG.num_samples
+
+    w = MetricsWriter(str(tmp_path / "m.jsonl"), tensorboard=True)
+    w.write(step=2, loss=float(metrics["loss"]), **{
+        k: v for k, v in metrics.items() if k.startswith("hist_")})
+    w.close()
+    rows = w.read()
+    assert rows and "hist_det_cnt" in rows[0]
+    assert len(rows[0]["hist_det_cnt"]["counts"]) == 16
+    tb_files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert tb_files and tb_files[0].stat().st_size > 0
