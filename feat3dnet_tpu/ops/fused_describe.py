@@ -70,7 +70,7 @@ def folded_weights(variables: Dict[str, Any], cfg: ModelConfig) -> List[Array]:
 
 
 def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
-            bf16_matmul: bool = False):
+            bf16_matmul: bool = False, vpu_k3: bool = False):
     weights = refs[:-2]
     desc_ref, att_ref = refs[-2], refs[-1]
     widx = 0
@@ -89,48 +89,58 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
             a = a.astype(jnp.bfloat16)
         return jnp.dot(a, k, preferred_element_type=jnp.float32)
 
+    def mm_k3(a, k):
+        # (R, 3) @ (3, C) as three broadcast FMAs on the VPU instead of a
+        # K=3 MXU pass. Measured SLOWER on v5e (1.73 -> 1.40 M desc/s,
+        # benchmarks/sweep_fused.py) — the VPU is already loaded with the
+        # masks/pools/rotation — so OFF by default; kept as the recorded
+        # negative result.
+        if not vpu_k3:
+            return mm(a, k)
+        kf = k.astype(jnp.float32)
+        return (a[:, 0:1] * kf[0:1, :] + a[:, 1:2] * kf[1:2, :]
+                + a[:, 2:3] * kf[2:3, :])
+
     r2 = jnp.float32(cfg.base_scale) ** 2
     inv_r = 1.0 / jnp.float32(cfg.base_scale)
 
     pts = clusters_ref[...]                                   # (TC, ns, 3)
 
-    # ---- exact ball-query selection around the origin keypoint ----------
+    # ---- ball-query membership around the origin keypoint ---------------
+    # The towers consume points ONLY through slot maxpools, which are
+    # set-invariant: the reference's first-nsample selection (here cluster
+    # size == nsample, so selection == membership) and repeat-padding
+    # (duplicate rows never change a max) reduce EXACTLY to an in-ball
+    # mask applied at each pool. No rank/one-hot permutation work — the
+    # earlier selection formulation's batched one-hot dots were the
+    # kernel's VPU bottleneck (bf16 matmuls measured throughput-neutral).
     d2 = jnp.sum(pts * pts, axis=-1)                          # (TC, ns)
     in_ball = (d2 < r2).astype(jnp.float32)
-    # inclusive prefix count via upper-triangular ones matmul (MXU)
+    cnt = jnp.sum(in_ball, axis=-1, keepdims=True)            # (TC, 1)
+    # empty balls (cnt == 0) fall back to the FIRST index attaining the
+    # min distance (reference nearest-point fallback): first-tie via an
+    # inclusive prefix count (upper-triangular ones matmul, MXU)
     tri = (jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 1)).astype(jnp.float32)
-    rank = jnp.dot(in_ball, tri, preferred_element_type=jnp.float32)  # (TC, ns)
-    cnt = rank[:, -1:]                                        # (TC, 1)
-    # slot s takes the point with rank s+1 while s < cnt; pad slots repeat
-    # the FIRST in-ball point (rank 1 — reference repeat-pad semantics);
-    # empty balls take the nearest point instead.
-    # int32 iota cast to f32 — Mosaic has no float iota
-    slots = jax.lax.broadcasted_iota(jnp.int32, (tc, ns), 1).astype(jnp.float32)
-    target = jnp.where(slots + 1.0 <= cnt, slots + 1.0, 1.0)         # (TC, ns_s)
-    sel = ((jnp.abs(rank[:, :, None] - target[:, None, :]) < 0.5)
-           * in_ball[:, :, None])                                    # (TC, ns_k, ns_s)
-    # nearest-point fallback rows (cnt == 0): FIRST index attaining the min
     nearest_best = jnp.min(d2, axis=-1, keepdims=True)
     tie = (d2 <= nearest_best).astype(jnp.float32)            # (TC, ns)
     tie_rank = jnp.dot(tie, tri, preferred_element_type=jnp.float32)
     near_onehot = tie * (jnp.abs(tie_rank - 1.0) < 0.5).astype(jnp.float32)
-    empty = (cnt < 0.5).astype(jnp.float32)[:, :, None]       # (TC, 1, 1)
-    sel = sel + empty * near_onehot[:, :, None]
-    # grouped[s] = sum_k sel[k, s] * pts[k]   (batched (ns_s, ns_k)@(ns_k, 3))
-    grouped = jax.lax.dot_general(
-        sel, pts, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                   # (TC, ns_s, 3)
-    grouped = grouped * inv_r
+    empty = (cnt < 0.5).astype(jnp.float32)                   # (TC, 1)
+    mask = jnp.minimum(in_ball + empty * near_onehot, 1.0)    # (TC, ns)
 
+    grouped = pts * inv_r                                     # (TC, ns, 3)
     flat = grouped.reshape(tc * ns, 3)
 
     # ---- detector tower --------------------------------------------------
     h = flat
     for _ in range(len(cfg.detector_mlp)):
         k, b = next_w()
-        h = jnp.maximum(mm(h, k) + b, 0.0)
-    h = jnp.max(h.reshape(tc, ns, -1), axis=1)                # (TC, 256)
+        op = mm_k3 if h.shape[1] == 3 else mm
+        h = jnp.maximum(op(h, k) + b, 0.0)
+    # masked slot pool: ReLU outputs are >= 0 and every ball has >= 1
+    # member, so zeroing masked slots is exact
+    h = jnp.max(h.reshape(tc, ns, -1) * mask[:, :, None], axis=1)  # (TC, 256)
     for _ in range(len(cfg.detector_mlp2)):
         k, b = next_w()
         h = jnp.maximum(mm(h, k) + b, 0.0)
@@ -150,14 +160,19 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
     d = rot
     for _ in range(len(cfg.descriptor_mlp)):
         k, b = next_w()
-        d = jnp.maximum(mm(d, k) + b, 0.0)
+        op = mm_k3 if d.shape[1] == 3 else mm
+        d = jnp.maximum(op(d, k) + b, 0.0)
     c_pts = d.reshape(tc, ns, -1)
-    pooled = jnp.max(c_pts, axis=1, keepdims=True)
+    pooled = jnp.max(c_pts * mask[:, :, None], axis=1, keepdims=True)
     cat = jnp.concatenate(
         [c_pts, jnp.broadcast_to(pooled, c_pts.shape)], axis=-1)    # (TC, ns, 2C)
     k, b = next_w()                                           # conv_mid_0: BN, NO relu
     m = mm(cat.reshape(tc * ns, -1), k) + b
-    m = jnp.max(m.reshape(tc, ns, -1), axis=1)                # (TC, 128)
+    # conv_mid_0 has no ReLU, so masked slots are excluded with -inf-like
+    # sentinels rather than zeros
+    m = m.reshape(tc, ns, -1)
+    m = jnp.where(mask[:, :, None] > 0.5, m, -1.0e30)
+    m = jnp.max(m, axis=1)                                    # (TC, 128)
     k, b = next_w()                                           # conv_post_0: BN, NO relu
     out = mm(m, k) + b                                        # (TC, D)
     out = out * jax.lax.rsqrt(jnp.maximum(jnp.sum(out * out, -1, keepdims=True), 1e-8))
@@ -166,10 +181,11 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
     att_ref[...] = att
 
 
-@partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul", "vpu_k3",
+                                   "interpret"))
 def fused_describe_clusters(weights: List[Array], clusters: Array,
                             cfg: ModelConfig, tile: int = 64,
-                            bf16_matmul: bool = False,
+                            bf16_matmul: bool = False, vpu_k3: bool = False,
                             interpret: Optional[bool] = None
                             ) -> Tuple[Array, Array]:
     """(B, nsample, 3) origin-centered clusters -> (descriptors (B, D),
@@ -188,7 +204,8 @@ def fused_describe_clusters(weights: List[Array], clusters: Array,
 
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
     desc, att = pl.pallas_call(
-        partial(_kernel, cfg=cfg, tc=tile, ns=ns, bf16_matmul=bf16_matmul),
+        partial(_kernel, cfg=cfg, tc=tile, ns=ns, bf16_matmul=bf16_matmul,
+                vpu_k3=vpu_k3),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile, ns, 3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] + w_specs,
