@@ -54,6 +54,19 @@ class Feat3DNetOutput:
     end_points: Dict[str, Array]
 
 
+def _rotate_z(grouped: Array, orientations: Array) -> Array:
+    """Rotate grouped offsets into the detector's canonical z-orientation.
+
+    Applied as row-vector @ R with R = [[c, s, 0], [-s, c, 0], [0, 0, 1]]:
+    x' = x·c − y·s, y' = x·s + y·c (reference pointnet_common.py:112-119,
+    the sample_and_group/descriptor path).
+    """
+    c = jnp.cos(orientations)[:, :, None]
+    s = jnp.sin(orientations)[:, :, None]
+    x, y, z = grouped[..., 0], grouped[..., 1], grouped[..., 2]
+    return jnp.stack([x * c - y * s, x * s + y * c, z], axis=-1)
+
+
 def _group_normalized(
     xyz: Array,
     centers: Array,
@@ -74,13 +87,7 @@ def _group_normalized(
     grouped = grouped - centers[:, :, None, :]
     grouped = grouped / radius
     if orientations is not None:
-        # Rotation applied as row-vector @ R with R = [[c, s, 0], [-s, c, 0],
-        # [0, 0, 1]]: x' = x·c − y·s, y' = x·s + y·c (reference
-        # pointnet_common.py:112-119, the sample_and_group/descriptor path).
-        c = jnp.cos(orientations)[:, :, None]
-        s = jnp.sin(orientations)[:, :, None]
-        x, y, z = grouped[..., 0], grouped[..., 1], grouped[..., 2]
-        grouped = jnp.stack([x * c - y * s, x * s + y * c, z], axis=-1)
+        grouped = _rotate_z(grouped, orientations)
     return grouped, idx, cnt
 
 
@@ -219,12 +226,18 @@ class Feat3DNet(nn.Module):
         end_points["det_cnt"] = det_cnt
 
         # --- Description -------------------------------------------------
-        desc_orientation = orientation if cfg.regress_orientation else None
-        grouped2, _, desc_cnt = _group_normalized(
-            xyz, centers, cfg.base_scale, cfg.num_samples, valid_mask,
-            orientations=desc_orientation)
+        # The reference re-groups the SAME centers with the same radius and
+        # nsample for the descriptor (feat3dnet.py:176-181 via
+        # sample_and_group) — the neighborhoods are identical to the
+        # detector's, so the descriptor input is just the detector grouping
+        # rotated into canonical orientation. Reusing it skips a second
+        # ball query + gather (bit-identical outputs).
+        if cfg.regress_orientation:
+            grouped2 = _rotate_z(grouped, orientation)
+        else:
+            grouped2 = grouped
         features = self.descriptor(grouped2, training)
-        end_points["desc_cnt"] = desc_cnt
+        end_points["desc_cnt"] = det_cnt
 
         return Feat3DNetOutput(
             keypoints=centers,
