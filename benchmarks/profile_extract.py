@@ -108,6 +108,21 @@ def main():
     t = timed_device_call(lambda: desc(pipe.variables, xyz, valid_j, kp))
     print(f"  descriptor pass:        {t * 1e3:8.1f} ms", flush=True)
 
+    # 5. hashed-path stages (the TPU fast path inside the fused extract)
+    if pipe._use_hashed():
+        from feat3dnet_tpu.ops.hash_grid import ball_max_sorted
+
+        pts4, bbox, invp = pipe._host_sort(xyz, valid_j)
+        core = jax.jit(pipe._hashed_attention_sorted(nb))
+        t = timed_device_call(lambda: core(pipe.variables, pts4, bbox))
+        print(f"  hashed attention:       {t * 1e3:8.1f} ms", flush=True)
+
+        att_s = core(pipe.variables, pts4, bbox)[0]
+        bm = jax.jit(lambda p, b, a: ball_max_sorted(
+            p, b, a, float(icfg.nms_radius)))
+        t = timed_device_call(lambda: bm(pts4, bbox, att_s))
+        print(f"  hashed nms ball-max:    {t * 1e3:8.1f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -126,16 +126,13 @@ class InferencePipeline:
             return jax.default_backend() == "tpu"
         return flag
 
-    def _hashed_attention_impl(self, n_bucket: int):
-        """Traceable (variables, pts4, blk_bbox, inv_perm) -> attention in
-        ORIGINAL point order, via the Morton-sorted spatially-pruned
+    def _hashed_attention_sorted(self, n_bucket: int):
+        """Traceable (variables, pts4, blk_bbox) -> (attention, orientation)
+        in SORTED (Morton-block) point order, via the spatially-pruned
         grouping kernel (ops/hash_grid.py) + the detector tower on the
         precomputed clusters. Index-exact vs the dense path (selection is
         the ns smallest original indices, the same slot order), so the
-        attention values match the chunked XLA path. The Morton sort runs
-        on the HOST (build_sorted_cloud_host) — the cloud is host-resident
-        at pipeline entry, np.argsort is microseconds, and the XLA bitonic
-        sort at >=16k points costs tens of minutes of TPU compile time."""
+        attention values match the chunked XLA path."""
         from feat3dnet_tpu.models.feat3dnet import Feat3DNet
         from feat3dnet_tpu.ops.hash_grid import SortedCloud, ball_query_grouped_sorted
 
@@ -144,9 +141,9 @@ class InferencePipeline:
         chunk = self._chunk_size(n_bucket)
         n_chunks = n_bucket // chunk
 
-        def attention(variables, pts4, blk_bbox, inv_perm):
+        def attention_sorted(variables, pts4, blk_bbox):
             sc = SortedCloud(pts4=pts4, blk_bbox=blk_bbox, orig_idx=None,
-                             inv_perm=inv_perm, block_size=0)
+                             inv_perm=None, block_size=0)
             centers_sorted = pts4[:, :3]
             grouped, _, _ = ball_query_grouped_sorted(sc, centers_sorted, r, ns)
             normalized = (grouped - centers_sorted[:, None, :]) / r
@@ -160,9 +157,21 @@ class InferencePipeline:
 
             starts = jnp.arange(n_chunks) * chunk
             att_s, ori_s = jax.lax.map(one_chunk, starts)
-            att = att_s.reshape(-1)[inv_perm]
-            ori = ori_s.reshape(-1)[inv_perm]
-            return att, ori
+            return att_s.reshape(-1), ori_s.reshape(-1)
+
+        return attention_sorted
+
+    def _hashed_attention_impl(self, n_bucket: int):
+        """Traceable (variables, pts4, blk_bbox, inv_perm) -> attention in
+        ORIGINAL point order. The Morton sort runs on the HOST
+        (build_sorted_cloud_host) — the cloud is host-resident at pipeline
+        entry, np.argsort is microseconds, and the XLA bitonic sort at
+        >=16k points costs tens of minutes of TPU compile time."""
+        core = self._hashed_attention_sorted(n_bucket)
+
+        def attention(variables, pts4, blk_bbox, inv_perm):
+            att_s, ori_s = core(variables, pts4, blk_bbox)
+            return att_s[inv_perm], ori_s[inv_perm]
 
         return attention
 
@@ -177,31 +186,51 @@ class InferencePipeline:
 
     def _extract_fn(self, n_bucket: int):
         """Fused single-dispatch extraction: attention everywhere (hashed
-        fast path on TPU, chunked XLA otherwise) → on-device NMS →
-        descriptors at the NMS keypoints, one executable per bucket. One
-        host round-trip per cloud instead of three (the tunnel RTT is
-        ~40 ms, comparable to the whole device computation)."""
+        fast path on TPU, chunked XLA otherwise) → on-device NMS (the
+        spatially-pruned ball-max kernel on the hashed path, the dense
+        streamed max otherwise) → descriptors at the NMS keypoints, one
+        executable per bucket. One host round-trip per cloud instead of
+        three (the tunnel RTT is ~40 ms, comparable to the whole device
+        computation)."""
         if n_bucket in self._extract_fns:
             return self._extract_fns[n_bucket]
 
         icfg = self.icfg
+
+        def describe(variables, cloud, valid_mask, kp, kp_att, num):
+            out = self.model.apply(variables, cloud, training=False,
+                                   keypoints=kp, valid_mask=valid_mask)
+            return kp[0], out.features[0], kp_att[0], num[0]
 
         def tail(variables, cloud, valid_mask, att):
             xyz = cloud[..., :3]
             kp, kp_att, num = nms_keypoints(
                 xyz, att[None, :], icfg.nms_radius, icfg.max_keypoints,
                 icfg.min_response_ratio, valid_mask=valid_mask)
-            out = self.model.apply(variables, cloud, training=False,
-                                   keypoints=kp, valid_mask=valid_mask)
-            return kp[0], out.features[0], kp_att[0], num[0]
+            return describe(variables, cloud, valid_mask, kp, kp_att, num)
 
         if self._use_hashed():
-            hashed = self._hashed_attention_impl(n_bucket)
+            from feat3dnet_tpu.ops.hash_grid import ball_max_sorted
+            from feat3dnet_tpu.ops.nms import select_keypoints
+
+            core = self._hashed_attention_sorted(n_bucket)
 
             @jax.jit
             def impl(variables, cloud, valid_mask, pts4, blk_bbox, inv_perm):
-                att, _ = hashed(variables, pts4, blk_bbox, inv_perm)
-                return tail(variables, cloud, valid_mask, att)
+                att_s, _ = core(variables, pts4, blk_bbox)
+                # NMS survival on the sorted layout: a point survives iff
+                # its attention ties the ball max (same >= rule as
+                # nms_keypoints; invalid points sit at +1e9 in pts4 so they
+                # never enter a real ball).
+                ballmax = ball_max_sorted(pts4, blk_bbox, att_s,
+                                          float(icfg.nms_radius))
+                is_max = (att_s >= ballmax)[inv_perm]
+                att = att_s[inv_perm]
+                kp, kp_att, num = select_keypoints(
+                    cloud[..., :3], att[None, :], is_max[None, :],
+                    icfg.max_keypoints, icfg.min_response_ratio,
+                    valid_mask=valid_mask)
+                return describe(variables, cloud, valid_mask, kp, kp_att, num)
 
             def fn(variables, cloud, valid_mask):
                 return impl(variables, cloud, valid_mask,

@@ -33,10 +33,11 @@ from feat3dnet_tpu.ops.neighborhoods import (
     pairwise_sqdist,
 )
 from feat3dnet_tpu.ops.fps import farthest_point_sample
-from feat3dnet_tpu.ops.hash_grid import (ball_query_grouped_sorted,
+from feat3dnet_tpu.ops.hash_grid import (ball_max_sorted,
+                                         ball_query_grouped_sorted,
                                          build_sorted_cloud, hashed_ball_query)
 from feat3dnet_tpu.ops.sampling import prob_sample
-from feat3dnet_tpu.ops.nms import nms_keypoints
+from feat3dnet_tpu.ops.nms import nms_keypoints, select_keypoints
 from feat3dnet_tpu.ops.pointnet import sample_and_group, sample_and_group_all, sample_points
 
 __all__ = [
@@ -51,7 +52,9 @@ __all__ = [
     "sample_points",
     "sample_and_group",
     "sample_and_group_all",
+    "select_keypoints",
     "hashed_ball_query",
     "ball_query_grouped_sorted",
+    "ball_max_sorted",
     "build_sorted_cloud",
 ]

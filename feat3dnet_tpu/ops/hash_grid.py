@@ -194,16 +194,50 @@ def _tile_bbox(centers: Array, tile: int) -> Array:
          jnp.zeros((c.shape[0], 2), jnp.float32)], axis=1)
 
 
-def _bq_kernel(hit_ref, ctr_ref, pts_ref,
-               top_ref, cnt_ref, *, r2: float, tc: int, L: int, ns: int):
+def _block_hitmask(tbox: Array, blk_bbox: Array, r2: float) -> Array:
+    """Exact bbox-to-bbox gap test, vectorized in XLA, bit-packed for SMEM.
+
+    tbox: (Ti, 8) center-tile bboxes; blk_bbox: (NB, 8) point-block bboxes.
+    Returns (Ti, ceil(NB/32)) int32 bitmask — bit j of word j//32 says block
+    j's bbox comes within `sqrt(r2)` of the tile's bbox.
+    """
+    nb = blk_bbox.shape[0]
+    tiles = tbox.shape[0]
+    lo = blk_bbox[None, :, :3] - tbox[:, None, 3:6]          # (Ti, NB, 3)
+    hi = tbox[:, None, :3] - blk_bbox[None, :, 3:6]
+    gap = jnp.maximum(jnp.maximum(lo, hi), 0.0)
+    hit = jnp.sum(gap * gap, axis=-1) < r2                   # (Ti, NB)
+    nbw = -(-nb // 32)
+    hit_p = jnp.pad(hit, ((0, 0), (0, nbw * 32 - nb)))
+    bits = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
+    return jnp.sum(
+        hit_p.reshape(tiles, nbw, 32).astype(jnp.int32) * bits[None, None, :],
+        axis=-1).astype(jnp.int32)                           # (Ti, NBW)
+
+
+def _bq_kernel(hit_ref, ctr_ref, ptsT_ref,
+               topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+               *, r2: float, tc: int, L: int, ns: int):
+    """Running exact top-ns merge, restricted to strictly-2D vector ops.
+
+    Mosaic unrolls >2-D elementwise ops over every leading dim; the first
+    formulation of this merge (rank one-hots materialized as (TC, ns, L) /
+    (TC, ns, ns', 4) tensors) produced IR so large the compile never
+    finished (>40 min, shape-independent). This version keeps every
+    intermediate (TC, L) or (TC, ns) and expresses the per-slot one-hot
+    routing as ns-iteration loops of broadcast compare+FMA — a few hundred
+    small 2-D ops, which Mosaic compiles in seconds. The in-block candidate
+    rank still rides the MXU via the triangular-ones matmul.
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        top_ref[...] = jnp.concatenate(
-            [jnp.zeros((tc, ns, 3), jnp.float32),
-             jnp.full((tc, ns, 1), _BIG, jnp.float32)], axis=-1)
+        topx_ref[...] = jnp.zeros((tc, ns), jnp.float32)
+        topy_ref[...] = jnp.zeros((tc, ns), jnp.float32)
+        topz_ref[...] = jnp.zeros((tc, ns), jnp.float32)
+        topk_ref[...] = jnp.full((tc, ns), _BIG, jnp.float32)
         cnt_ref[...] = jnp.zeros((tc, 1), jnp.float32)
 
     # bbox cull decision, precomputed in XLA and bit-packed (SMEM scalar)
@@ -212,69 +246,86 @@ def _bq_kernel(hit_ref, ctr_ref, pts_ref,
 
     @pl.when(hit)
     def _process():
-        pts = pts_ref[...]                                   # (L, 4)
+        ptsT = ptsT_ref[...]                                 # (4, L) rows x|y|z|orig
         ctr = ctr_ref[...]                                   # (TC, 4)
         d2 = jnp.zeros((tc, L), jnp.float32)
         for d in range(3):
-            dd = ctr[:, d:d + 1] - pts[:, d:d + 1].reshape(1, L)
+            dd = ctr[:, d:d + 1] - ptsT[d:d + 1, :]
             d2 = d2 + dd * dd
         in_ball = d2 < r2                                    # (TC, L)
 
         @pl.when(jnp.any(in_ball))
         def _merge():
             ib = in_ball.astype(jnp.float32)
-            orig_row = pts[:, 3:4].reshape(1, L)
-            key = jnp.where(in_ball, orig_row, _BIG)         # (TC, L) ascending where finite
+            korig = ptsT[3:4, :]                             # (1, L) ascending
+            key = jnp.where(in_ball, korig, _BIG)            # (TC, L)
             # in-block rank among candidates: inclusive prefix count (MXU)
             tri = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
                    <= jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
                    ).astype(jnp.float32)
             rank_b = jnp.dot(ib, tri, preferred_element_type=jnp.float32)
 
-            top = top_ref[...]                               # (TC, ns, 4)
-            topkey = top[:, :, 3:4].reshape(tc, ns)          # (TC, ns) ascending
-            # merged 1-based position of candidate l: #top entries smaller
+            topx = topx_ref[...]
+            topy = topy_ref[...]
+            topz = topz_ref[...]
+            topk = topk_ref[...]                             # (TC, ns) ascending
+
+            # merged 1-based position of candidate l: #buffer keys smaller
             # + in-block rank (keys are unique original indices)
-            smaller_top = jnp.sum(
-                (topkey[:, None, :] < key[:, :, None]).astype(jnp.float32),
-                axis=2)                                      # (TC, L)
-            pos_b = smaller_top + rank_b                     # (TC, L)
-            # merged 1-based position of buffer entry s: s+1 + #cands smaller
-            smaller_cand = jnp.sum(
-                (key[:, None, :] < topkey[:, :, None]).astype(jnp.float32),
-                axis=2)                                      # (TC, ns)
+            smaller_top = jnp.zeros((tc, L), jnp.float32)
+            for s in range(ns):
+                smaller_top = smaller_top + (
+                    topk[:, s:s + 1] < key).astype(jnp.float32)
+            pos_b = jnp.where(in_ball, smaller_top + rank_b, 0.0)  # (TC, L)
+
+            # route candidates into their merged slots (slots are 1-based;
+            # pos 0 = not in ball, pos > ns = past the buffer -> dropped)
+            ax, ay, az, ak = [], [], [], []
+            for sp in range(ns):
+                m = (jnp.abs(pos_b - (sp + 1.0)) < 0.5).astype(jnp.float32)
+                ax.append(jnp.sum(m * ptsT[0:1, :], axis=1, keepdims=True))
+                ay.append(jnp.sum(m * ptsT[1:2, :], axis=1, keepdims=True))
+                az.append(jnp.sum(m * ptsT[2:3, :], axis=1, keepdims=True))
+                ak.append(jnp.sum(m * korig, axis=1, keepdims=True))
+            addx = jnp.concatenate(ax, axis=1)               # (TC, ns)
+            addy = jnp.concatenate(ay, axis=1)
+            addz = jnp.concatenate(az, axis=1)
+            addk = jnp.concatenate(ak, axis=1)
+
+            # merged 1-based position of buffer entry s: s+1 + #cands with a
+            # smaller key. Buffer keys ascend, so that count equals
+            # #{in-ball l: smaller_top[l] <= s} (sentinel slots included:
+            # smaller_top <= fill <= s always holds there).
+            sc_cols = []
+            for s in range(ns):
+                below = ib * (smaller_top < s + 0.5).astype(jnp.float32)
+                sc_cols.append(jnp.sum(below, axis=1, keepdims=True))
+            smaller_cand = jnp.concatenate(sc_cols, axis=1)  # (TC, ns)
             slot_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (tc, ns), 1).astype(jnp.float32)
             pos_t = slot_iota + 1.0 + smaller_cand           # (TC, ns)
 
-            # One-hot placements. Routed VALUES must stay exact f32, and
-            # TC-batched dots compile pathologically in Mosaic (per-batch
-            # unrolling x bf16x3 passes), so: the buffer permutation is an
-            # exact VPU broadcast-sum, and the candidate placement is ONE
-            # unbatched matmul at HIGHEST precision (bf16x3 reconstructs
-            # f32 exactly when one factor is 0/1).
-            one_t = (jnp.abs(pos_t[:, :, None]
-                             - (slot_iota + 1.0)[:, None, :]) < 0.5
-                     ).astype(jnp.float32)                   # (TC, ns, ns')
-            kept = jnp.sum(one_t[:, :, :, None] * top[:, :, None, :],
-                           axis=1)                           # (TC, ns', 4)
+            # route surviving buffer entries to their shifted slots
+            keptx = jnp.zeros((tc, ns), jnp.float32)
+            kepty = jnp.zeros((tc, ns), jnp.float32)
+            keptz = jnp.zeros((tc, ns), jnp.float32)
+            keptk = jnp.zeros((tc, ns), jnp.float32)
+            for s in range(ns):
+                m = (jnp.abs(pos_t[:, s:s + 1] - (slot_iota + 1.0)) < 0.5
+                     ).astype(jnp.float32)                   # (TC, ns)
+                keptx = keptx + topx[:, s:s + 1] * m
+                kepty = kepty + topy[:, s:s + 1] * m
+                keptz = keptz + topz[:, s:s + 1] * m
+                keptk = keptk + topk[:, s:s + 1] * m
 
-            one_b = ((jnp.abs(pos_b[:, None, :]
-                              - (slot_iota + 1.0)[:, :, None]) < 0.5)
-                     .astype(jnp.float32) * ib[:, None, :])  # (TC, ns', L)
-            added = jnp.dot(
-                one_b.reshape(tc * ns, L), pts,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).reshape(tc, ns, 4)                             # (TC, ns', 4)
-            merged = kept + added
+            cnt_new = cnt_ref[...] + jnp.sum(ib, axis=1, keepdims=True)
             # slots past the merged fill level received no one-hot hit and
             # read 0 — restore the sentinel on their key channel
-            cnt_new = cnt_ref[...] + jnp.sum(ib, axis=1, keepdims=True)
             filled = slot_iota < jnp.minimum(cnt_new, float(ns))   # (TC, ns)
-            merged_key = jnp.where(filled, merged[:, :, 3:4].reshape(tc, ns), _BIG)
-            top_ref[...] = jnp.concatenate(
-                [merged[:, :, :3], merged_key[:, :, None]], axis=-1)
+            topx_ref[...] = keptx + addx
+            topy_ref[...] = kepty + addy
+            topz_ref[...] = keptz + addz
+            topk_ref[...] = jnp.where(filled, keptk + addk, _BIG)
             cnt_ref[...] = cnt_new
 
 
@@ -298,43 +349,39 @@ def _bq_sorted_raw(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
         [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
     tiles = mp // tc
     nb = sc_blk_bbox.shape[0]
-    tbox = _tile_bbox(centers_p, tc)
-
-    # exact bbox-to-bbox gap test, vectorized in XLA, bit-packed for SMEM
     r2 = float(radius) ** 2
-    lo = sc_blk_bbox[None, :, :3] - tbox[:, None, 3:6]       # (Ti, NB, 3)
-    hi = tbox[:, None, :3] - sc_blk_bbox[None, :, 3:6]
-    gap = jnp.maximum(jnp.maximum(lo, hi), 0.0)
-    hit = jnp.sum(gap * gap, axis=-1) < r2                   # (Ti, NB)
-    nbw = -(-nb // 32)
-    hit_p = jnp.pad(hit, ((0, 0), (0, nbw * 32 - nb)))
-    bits = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
-    hitmask = jnp.sum(
-        hit_p.reshape(tiles, nbw, 32).astype(jnp.int32) * bits[None, None, :],
-        axis=-1).astype(jnp.int32)                           # (Ti, NBW)
+    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
+    pts4T = sc_pts4.T                                        # (4, Np)
 
-    top, cnt = pl.pallas_call(
+    def _plane_spec():
+        return pl.BlockSpec((tc, ns), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    topx, topy, topz, topk, cnt = pl.pallas_call(
         partial(_bq_kernel, r2=r2, tc=tc, L=L, ns=ns),
         grid=(tiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tc, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, L), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tc, ns, 4), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _plane_spec(), _plane_spec(), _plane_spec(), _plane_spec(),
             pl.BlockSpec((tc, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((mp, ns, 4), jnp.float32),
+            jax.ShapeDtypeStruct((mp, ns), jnp.float32),
+            jax.ShapeDtypeStruct((mp, ns), jnp.float32),
+            jax.ShapeDtypeStruct((mp, ns), jnp.float32),
+            jax.ShapeDtypeStruct((mp, ns), jnp.float32),
             jax.ShapeDtypeStruct((mp, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(hitmask, ctr4, sc_pts4)
+    )(hitmask, ctr4, pts4T)
+    top = jnp.stack([topx, topy, topz, topk], axis=-1)       # (mp, ns, 4)
     return top[:m], cnt[:m, 0]
 
 
@@ -387,6 +434,95 @@ def sort_centers(centers: Array, valid: Optional[Array] = None,
     cell = jnp.clip((c - jnp.min(c, axis=0)) / cell_size, 0, 1023).astype(jnp.int32)
     order = jnp.argsort(_morton30(cell), stable=True).astype(jnp.int32)
     return c[order], order
+
+
+def _ballmax_kernel(hit_ref, ctr_ref, pts_ref, max_ref, *,
+                    r2: float, tc: int, L: int):
+    """Running max of a per-point value over each center's radius ball.
+
+    pts channel 3 carries the VALUE (e.g. detector attention) instead of
+    the original index. Invalid/pad points sit at +1e9 so they can never
+    enter a real center's ball — no value masking needed.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        max_ref[...] = jnp.full((tc, 1), -_BIG, jnp.float32)
+
+    word = hit_ref[i, j // 32]
+    hit = ((word >> (j % 32)) & 1) == 1
+
+    @pl.when(hit)
+    def _process():
+        pts = pts_ref[...]                                   # (L, 4)
+        ctr = ctr_ref[...]                                   # (TC, 4)
+        d2 = jnp.zeros((tc, L), jnp.float32)
+        for d in range(3):
+            dd = ctr[:, d:d + 1] - pts[:, d:d + 1].reshape(1, L)
+            d2 = d2 + dd * dd
+        neigh = jnp.where(d2 < r2, pts[:, 3:4].reshape(1, L), -_BIG)
+        max_ref[...] = jnp.maximum(max_ref[...],
+                                   jnp.max(neigh, axis=1, keepdims=True))
+
+
+@partial(jax.jit, static_argnames=("radius", "tile", "interpret"))
+def ball_max_sorted(sc_pts4: Array, sc_blk_bbox: Array, values: Array,
+                    radius: float, tile: int = 512,
+                    interpret: Optional[bool] = None) -> Array:
+    """Per sorted point, the max of `values` over its radius ball.
+
+    This is the NMS primitive: a point is a keypoint iff its attention
+    equals the ball max (ops/nms.py computes the same thing O(N²); here the
+    Morton-block bbox cull restricts work to geometric neighbors). Exact —
+    the cull is sufficient (any in-ball point's block bbox is within radius
+    of the center-tile bbox), so no candidate is ever missed.
+
+    Args:
+      sc_pts4 / sc_blk_bbox: the SortedCloud layout (build_sorted_cloud*).
+      values: (Np,) f32 per SORTED position (pad/invalid values ignored —
+        their coords are +1e9 so they never land in a real ball).
+      radius: suppression radius.
+
+    Returns:
+      (Np,) f32 ball max per sorted position (centers = the points
+      themselves, so result >= own value always; -1e30 for pad positions).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    np_ = sc_pts4.shape[0]
+    L = np_ // sc_blk_bbox.shape[0]
+    tc = tile
+    pad = -np_ % tc
+    centers_p = jnp.pad(sc_pts4[:, :3], ((0, pad), (0, 0)),
+                        constant_values=_FAR)
+    mp = np_ + pad
+    ctr4 = jnp.concatenate(
+        [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
+    nb = sc_blk_bbox.shape[0]
+    r2 = float(radius) ** 2
+    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
+    pts4v = jnp.concatenate(
+        [sc_pts4[:, :3], values.astype(jnp.float32)[:, None]], axis=1)
+
+    out = pl.pallas_call(
+        partial(_ballmax_kernel, r2=r2, tc=tc, L=L),
+        grid=(mp // tc, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tc, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tc, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(hitmask, ctr4, pts4v)
+    return out[:np_, 0]
 
 
 @partial(jax.jit, static_argnames=("radius", "nsample", "cell_size",

@@ -87,6 +87,28 @@ def nms_keypoints(
         return is_max
 
     is_max = jax.vmap(per_batch)(xyz_p, att_p, att)
+    return select_keypoints(xyz, attention, is_max, max_keypoints,
+                            min_response_ratio, valid_mask)
+
+
+def select_keypoints(
+    xyz: Array,
+    attention: Array,
+    is_max: Array,
+    max_keypoints: int,
+    min_response_ratio: float = 1e-2,
+    valid_mask: Optional[Array] = None,
+) -> Tuple[Array, Array, Array]:
+    """Keypoint selection given a precomputed radius-max survival mask.
+
+    Shared tail of nms_keypoints: response-ratio floor, top-k by attention
+    (ties → lower index, matching the reference's stable sort), pad-with-
+    strongest. `is_max` may come from the dense streamed max above or from
+    the spatially-pruned ops.hash_grid.ball_max_sorted kernel.
+    """
+    att = attention
+    if valid_mask is not None:
+        att = jnp.where(valid_mask, att, 0.0)
 
     thresh = jnp.max(att, axis=-1, keepdims=True) * min_response_ratio
     keep = is_max & (att > thresh)

@@ -149,6 +149,58 @@ def test_pipeline_hashed_attention_matches_xla(rng):
     np.testing.assert_allclose(res_h.features, res_x.features, rtol=1e-4, atol=1e-5)
 
 
+def test_ball_max_vs_dense_oracle(rng):
+    """ball_max_sorted (the spatially-pruned NMS primitive) must equal a
+    dense per-point radius max over VALID candidates, including self."""
+    from feat3dnet_tpu.ops.hash_grid import ball_max_sorted
+
+    n, radius = 600, 1.5
+    xyz = _clouds(rng, n, spread=12.0, clusters=3)
+    valid = rng.rand(n) > 0.15
+    att = (rng.rand(n).astype(np.float32) + 0.01)
+    # inject exact ties to exercise the >= survival rule downstream
+    att[10] = att[11] = 0.7
+
+    sc = build_sorted_cloud(jnp.asarray(xyz), jnp.asarray(valid),
+                            cell_size=radius, block_size=64)
+    att_sorted = jnp.asarray(att)[sc.orig_idx]
+    bm = ball_max_sorted(sc.pts4, sc.blk_bbox, att_sorted, radius, tile=32)
+    got = np.asarray(bm)[np.asarray(sc.inv_perm)]           # original order
+
+    d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+    in_ball = (d2 < radius ** 2) & valid[None, :]
+    oracle = np.where(in_ball, att[None, :], -np.inf).max(axis=1)
+    np.testing.assert_array_equal(got[valid], oracle[valid].astype(np.float32))
+
+
+def test_hashed_extract_nms_matches_dense(rng):
+    """End-to-end: the hashed extract's spatially-pruned NMS must select
+    the exact same keypoints as the dense streamed-max NMS."""
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 3)), training=False)
+    v = jax.tree.map(lambda x: x + 0.1 * rng.randn(*x.shape).astype(np.float32), v)
+
+    xyz = _clouds(rng, 900, spread=18.0, clusters=5)
+    icfg = dict(keypoint_chunk=256, max_keypoints=64, nms_radius=1.0)
+    pipe_h = InferencePipeline(model, v, cfg,
+                               InferenceConfig(use_hashed_grouping=True, **icfg))
+    pipe_x = InferencePipeline(model, v, cfg,
+                               InferenceConfig(use_hashed_grouping=False, **icfg))
+    res_h = pipe_h.extract(xyz)
+    res_x = pipe_x.extract(xyz)
+    assert res_h.num_keypoints == res_x.num_keypoints
+    np.testing.assert_array_equal(res_h.keypoints, res_x.keypoints)
+    np.testing.assert_allclose(res_h.features, res_x.features, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(res_h.attention, res_x.attention, rtol=1e-5, atol=1e-6)
+
+
 def test_host_sort_matches_device_sort(rng):
     """build_sorted_cloud_host (numpy, pipeline path) must produce the
     exact same layout as the in-jit device version."""
