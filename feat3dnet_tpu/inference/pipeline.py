@@ -184,6 +184,28 @@ class InferencePipeline:
                                      cell_size=float(self.mcfg.base_scale))
         return jnp.asarray(sc.pts4), jnp.asarray(sc.blk_bbox), jnp.asarray(sc.inv_perm)
 
+    _HASH_BLOCK = 256   # Morton block size for the hashed path (buckets are
+                        # power-of-two multiples of 256, so np_ == n_bucket)
+
+    def _host_sort_packed(self, padded_np: np.ndarray, valid_np: np.ndarray):
+        """One flat f32 upload buffer: [pts4 | blk_bbox | inv_perm].
+
+        Every host->device array is its own ~40 ms tunnel round-trip, so the
+        hashed extract ships exactly ONE array per cloud. The original-order
+        cloud and validity are reconstructed on device from pts4 + inv_perm
+        (invalid points sit at +1e9, which the valid_mask paths treat
+        identically to the original zero padding)."""
+        from feat3dnet_tpu.ops.hash_grid import build_sorted_cloud_host
+
+        sc = build_sorted_cloud_host(padded_np[0, :, :3], valid_np[0],
+                                     cell_size=float(self.mcfg.base_scale),
+                                     block_size=self._HASH_BLOCK)
+        return np.concatenate([
+            sc.pts4.ravel(),
+            sc.blk_bbox.ravel(),
+            sc.inv_perm.astype(np.float32),   # exact for n_bucket < 2^24
+        ])
+
     def _extract_fn(self, n_bucket: int):
         """Fused single-dispatch extraction: attention everywhere (hashed
         fast path on TPU, chunked XLA otherwise) → on-device NMS (the
@@ -214,9 +236,18 @@ class InferencePipeline:
             from feat3dnet_tpu.ops.nms import select_keypoints
 
             core = self._hashed_attention_sorted(n_bucket)
+            nb = n_bucket
+            n_blocks = nb // self._HASH_BLOCK
+            k_max = icfg.max_keypoints
 
             @jax.jit
-            def impl(variables, cloud, valid_mask, pts4, blk_bbox, inv_perm):
+            def impl(variables, packed):
+                pts4 = packed[:nb * 4].reshape(nb, 4)
+                blk_bbox = packed[nb * 4:nb * 4 + n_blocks * 8].reshape(
+                    n_blocks, 8)
+                inv_perm = packed[nb * 4 + n_blocks * 8:].astype(jnp.int32)
+                cloud = pts4[inv_perm, :3][None]          # original order;
+                valid_mask = (cloud[..., 0] < 5.0e8)      # invalid -> +1e9
                 att_s, _ = core(variables, pts4, blk_bbox)
                 # NMS survival on the sorted layout: a point survives iff
                 # its attention ties the ball max (same >= rule as
@@ -227,21 +258,37 @@ class InferencePipeline:
                 is_max = (att_s >= ballmax)[inv_perm]
                 att = att_s[inv_perm]
                 kp, kp_att, num = select_keypoints(
-                    cloud[..., :3], att[None, :], is_max[None, :],
+                    cloud, att[None, :], is_max[None, :],
                     icfg.max_keypoints, icfg.min_response_ratio,
                     valid_mask=valid_mask)
-                return describe(variables, cloud, valid_mask, kp, kp_att, num)
+                kp1, feats, kp_att1, num1 = describe(
+                    variables, cloud, valid_mask, kp, kp_att, num)
+                # one flat f32 download buffer — see _host_sort_packed
+                return jnp.concatenate([
+                    kp1.ravel(), feats.ravel(), kp_att1.ravel(),
+                    num1.astype(jnp.float32)[None]])
 
-            def fn(variables, cloud, valid_mask):
-                return impl(variables, cloud, valid_mask,
-                            *self._host_sort(cloud, valid_mask))
+            def fn(variables, padded_np, valid_np):
+                packed = self._host_sort_packed(padded_np, valid_np)
+                out = np.asarray(impl(variables, jnp.asarray(packed)))
+                kp = out[:k_max * 3].reshape(k_max, 3)
+                o = k_max * 3
+                d = (out.shape[0] - 1 - o - k_max) // k_max
+                feats = out[o:o + k_max * d].reshape(k_max, d)
+                kp_att = out[o + k_max * d:-1]
+                return kp, feats, kp_att, int(out[-1])
         else:
             chunked = self._chunked_attention(n_bucket)
 
             @jax.jit
-            def fn(variables, cloud, valid_mask):
+            def impl(variables, cloud, valid_mask):
                 att, _ = chunked(variables, cloud, valid_mask)
                 return tail(variables, cloud, valid_mask, att)
+
+            def fn(variables, padded_np, valid_np):
+                kp, feats, kp_att, num = jax.device_get(impl(
+                    variables, jnp.asarray(padded_np), jnp.asarray(valid_np)))
+                return kp, feats, kp_att, int(num)
 
         self._extract_fns[n_bucket] = fn
         return fn
@@ -289,21 +336,21 @@ class InferencePipeline:
         padded[0, :n] = cloud[:, :3]
         valid = np.zeros((1, n_bucket), bool)
         valid[0, :n] = True
-        padded_j = jnp.asarray(padded)
-        valid_j = jnp.asarray(valid)
 
         if keypoints is None and self.mesh is None:
-            # fused one-dispatch path; ONE bulk device->host fetch for all
-            # outputs (each np.asarray would be its own ~40 ms tunnel RTT)
-            kp, feats, kp_att, num = jax.device_get(self._extract_fn(n_bucket)(
-                self.variables, padded_j, valid_j))
-            num_kp = int(num)
+            # fused one-dispatch path: ONE upload + ONE download per cloud
+            # (each separate array transfer is its own ~40 ms tunnel RTT)
+            kp, feats, kp_att, num_kp = self._extract_fn(n_bucket)(
+                self.variables, padded, valid)
             return InferenceResult(
                 keypoints=kp[:num_kp],
                 features=feats[:num_kp],
                 attention=kp_att[:num_kp],
                 num_keypoints=num_kp,
             )
+
+        padded_j = jnp.asarray(padded)
+        valid_j = jnp.asarray(valid)
 
         if keypoints is None:
             att, _ = self._attention_fn(n_bucket)(self.variables, padded_j, valid_j)

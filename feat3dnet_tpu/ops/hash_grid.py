@@ -253,12 +253,19 @@ def _bq_kernel(hit_ref, ctr_ref, ptsT_ref,
             dd = ctr[:, d:d + 1] - ptsT[d:d + 1, :]
             d2 = d2 + dd * dd
         in_ball = d2 < r2                                    # (TC, L)
+        korig = ptsT[3:4, :]                                 # (1, L) ascending
+        key = jnp.where(in_ball, korig, _BIG)                # (TC, L)
+        # Exact whole-block skip: a candidate can only enter center t's
+        # buffer if its key beats the buffer's worst entry (topk[:, -1] is
+        # _BIG while unfilled, so unfilled buffers always accept). As
+        # buffers saturate with small original indices, later Morton
+        # blocks (uniformly distributed keys) skip their entire merge.
+        worst = topk_ref[:, ns - 1:ns]                       # (TC, 1)
+        can_add = jnp.min(key, axis=1, keepdims=True) < worst
 
-        @pl.when(jnp.any(in_ball))
+        @pl.when(jnp.any(can_add))
         def _merge():
             ib = in_ball.astype(jnp.float32)
-            korig = ptsT[3:4, :]                             # (1, L) ascending
-            key = jnp.where(in_ball, korig, _BIG)            # (TC, L)
             # in-block rank among candidates: inclusive prefix count (MXU)
             tri = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
                    <= jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
@@ -457,14 +464,21 @@ def _ballmax_kernel(hit_ref, ctr_ref, pts_ref, max_ref, *,
     @pl.when(hit)
     def _process():
         pts = pts_ref[...]                                   # (L, 4)
-        ctr = ctr_ref[...]                                   # (TC, 4)
-        d2 = jnp.zeros((tc, L), jnp.float32)
-        for d in range(3):
-            dd = ctr[:, d:d + 1] - pts[:, d:d + 1].reshape(1, L)
-            d2 = d2 + dd * dd
-        neigh = jnp.where(d2 < r2, pts[:, 3:4].reshape(1, L), -_BIG)
-        max_ref[...] = jnp.maximum(max_ref[...],
-                                   jnp.max(neigh, axis=1, keepdims=True))
+        # exact whole-block skip: the block cannot raise any center's
+        # running max unless its value maximum beats the tile's lowest max
+        vals = pts[:, 3:4].reshape(1, L)
+        blkmax = jnp.max(vals)
+
+        @pl.when(blkmax > jnp.min(max_ref[...]))
+        def _scan_block():
+            ctr = ctr_ref[...]                               # (TC, 4)
+            d2 = jnp.zeros((tc, L), jnp.float32)
+            for d in range(3):
+                dd = ctr[:, d:d + 1] - pts[:, d:d + 1].reshape(1, L)
+                d2 = d2 + dd * dd
+            neigh = jnp.where(d2 < r2, vals, -_BIG)
+            max_ref[...] = jnp.maximum(max_ref[...],
+                                       jnp.max(neigh, axis=1, keepdims=True))
 
 
 @partial(jax.jit, static_argnames=("radius", "tile", "interpret"))
