@@ -15,17 +15,25 @@ import jax
 import jax.numpy as jnp
 
 
-def main(pipeline_steps: int = 20):
+def main(pipeline_steps: int = 20, compute_dtype: str = "float32"):
     from feat3dnet_tpu.config import ModelConfig, TrainConfig
     from feat3dnet_tpu.models import Feat3DNet
     from feat3dnet_tpu.train.trainer import init_state, make_train_step
     from feat3dnet_tpu.utils import enable_compilation_cache
 
+    from feat3dnet_tpu.data.datagenerator import prefetch
+    from feat3dnet_tpu.train.trainer import make_fused_train_step
+
     enable_compilation_cache()
-    cfg, tcfg = ModelConfig(), TrainConfig()
+    cfg = ModelConfig(compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
+                      else jnp.float32)
+    tcfg = TrainConfig()
     model = Feat3DNet(cfg)
     state, tx = init_state(model, tcfg, cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(model, tx, cfg.margin, cfg.attention),
+    # the cli/train single-device path: one stacked upload per step
+    # (device_put in the prefetch worker thread), everything else fused
+    # into one executable
+    step = jax.jit(make_fused_train_step(model, tx, cfg.margin, cfg.attention),
                    donate_argnums=0)
 
     rng = np.random.RandomState(0)
@@ -34,20 +42,27 @@ def main(pipeline_steps: int = 20):
         a = rng.randn(tcfg.batch_size, tcfg.num_points, 3).astype(np.float32) * 8
         p = a + 0.01 * rng.randn(*a.shape).astype(np.float32)
         n = np.roll(a, 1, 0)
-        return tuple(jnp.asarray(x) for x in (a, p, n))
+        return np.concatenate([a, p, n], axis=0)
 
-    state, m = step(state, *batch())
+    state, m = step(state, jnp.asarray(batch()))
     print(f"compile done, loss {float(m['loss']):.4f}", flush=True)
 
     batches = [batch() for _ in range(pipeline_steps)]
     t0 = time.time()
-    for b in batches:
-        state, m = step(state, *b)
+    for b in prefetch(iter(batches), depth=2, transform=jax.device_put):
+        state, m = step(state, b)
     float(m["loss"])                      # one sync at the end
     dt = time.time() - t0
-    print(f"pipelined: {pipeline_steps} steps in {dt:.2f}s -> "
-          f"{pipeline_steps / dt:.1f} steps/s")
+    print(f"pipelined (prefetch-uploaded): {pipeline_steps} steps in {dt:.2f}s "
+          f"-> {pipeline_steps / dt:.1f} steps/s")
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--compute_dtype", default="float32",
+                    choices=("float32", "bfloat16"))
+    a = ap.parse_args()
+    main(a.steps, a.compute_dtype)

@@ -132,19 +132,27 @@ def main(argv=None):
         state = src.restore(state, restore_exclude=args.restore_exclude)
         logger.info("Restored checkpoint at step %d", int(state.step))
 
-    if args.num_devices > 1:
+    aug_names = tuple(resolve_augmentations(tcfg.augmentations, tcfg.upright_axis))
+    fused_single = args.num_devices <= 1
+    if not fused_single:
         mesh = make_mesh(args.num_devices)
         step_fn = make_dp_train_step(model, tx, mcfg.margin, mcfg.attention, mesh)
         place = lambda b: shard_batch(b, mesh)
     else:
-        step_fn = jax.jit(make_train_step(model, tx, mcfg.margin, mcfg.attention),
-                          donate_argnums=0)
-        place = lambda b: b
+        # single-dispatch step: augmentation inside the jit, aug key derived
+        # on device from state.step, one stacked upload per step (see
+        # make_fused_train_step)
+        from feat3dnet_tpu.train.trainer import make_fused_train_step
+
+        step_fn = jax.jit(
+            make_fused_train_step(model, tx, mcfg.margin, mcfg.attention,
+                                  augmentations=aug_names or None,
+                                  aug_seed=args.seed + 1),
+            donate_argnums=0)
 
     dataset = TripletDataset(os.path.join(args.data_dir, "train/train.txt"),
                              num_cols=args.data_dim, seed=args.seed)
     logger.info("Loaded train metadata: %d instances", dataset.size)
-    aug_names = tuple(resolve_augmentations(tcfg.augmentations, tcfg.upright_axis))
 
     val_folder = os.path.join(args.data_dir, "clusters")
     validator = None
@@ -155,6 +163,16 @@ def main(argv=None):
                            tensorboard=args.tensorboard)
     aug_key = jax.random.PRNGKey(args.seed + 1)
 
+    if fused_single:
+        # stack the triplet and upload from the prefetch worker thread —
+        # one device transfer per step, overlapped with compute
+        def to_device(batch):
+            a, p, n = batch
+            return jax.device_put(np.concatenate(
+                [a[..., :3], p[..., :3], n[..., :3]], axis=0))
+    else:
+        to_device = None
+
     # host-side step mirror: state.step is step0 + i by construction, so
     # hook scheduling needs no per-step device->host readback (which would
     # serialize host batch prep with device compute)
@@ -162,14 +180,18 @@ def main(argv=None):
     for epoch in range(args.num_epochs):
         logger.info("Starting epoch %d", epoch)
         for batch in prefetch(dataset.epoch_triplets(
-                epoch, tcfg.batch_size, tcfg.num_points, tcfg.crop_radius)):
-            a, p, n = (jnp.asarray(x[..., :3]) for x in batch)
-            if aug_names:
-                aug_key, k1, k2, k3 = jax.random.split(aug_key, 4)
-                a = augment_clouds(k1, a, aug_names)
-                p = augment_clouds(k2, p, aug_names)
-                n = augment_clouds(k3, n, aug_names)
-            state, metrics = step_fn(state, *place((a, p, n)))
+                epoch, tcfg.batch_size, tcfg.num_points, tcfg.crop_radius),
+                transform=to_device):
+            if fused_single:
+                state, metrics = step_fn(state, batch)
+            else:
+                a, p, n = (jnp.asarray(x[..., :3]) for x in batch)
+                if aug_names:
+                    aug_key, k1, k2, k3 = jax.random.split(aug_key, 4)
+                    a = augment_clouds(k1, a, aug_names)
+                    p = augment_clouds(k2, p, aug_names)
+                    n = augment_clouds(k3, n, aug_names)
+                state, metrics = step_fn(state, *place((a, p, n)))
             step += 1
             if step % args.summary_every_n_steps == 0:
                 loss = float(metrics["loss"])

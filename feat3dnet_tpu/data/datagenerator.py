@@ -29,7 +29,7 @@ import dataclasses
 import os
 import queue
 import threading
-from typing import Iterator, List, Optional, Sequence, Set, Tuple
+from typing import Callable, Iterator, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -158,8 +158,14 @@ def crop_and_resample(cloud: np.ndarray, num_points: int,
     return cloud[rng.choice(n, size=num_points, replace=False)]
 
 
-def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
-    """Run `iterator` in a background thread, `depth` batches ahead."""
+def prefetch(iterator: Iterator, depth: int = 2,
+             transform: Optional[Callable] = None) -> Iterator:
+    """Run `iterator` in a background thread, `depth` batches ahead.
+
+    `transform` (optional) runs on each item IN THE WORKER THREAD — the
+    hook for jax.device_put, so host->device uploads (each a ~40 ms
+    round-trip on the remote-tunnel backend) overlap with device compute
+    instead of serializing in front of every step."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err: List[BaseException] = []
@@ -167,6 +173,8 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     def worker():
         try:
             for item in iterator:
+                if transform is not None:
+                    item = transform(item)
                 q.put(item)
         except BaseException as e:  # propagate into the consumer
             err.append(e)

@@ -101,7 +101,9 @@ def make_train_step(
 
     def step(state: TrainState, anchors: Array, positives: Array, negatives: Array):
         clouds = jnp.concatenate([anchors, positives, negatives], axis=0)[..., :3]
+        return _train_core(state, clouds)
 
+    def _train_core(state: TrainState, clouds: Array):
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -139,6 +141,43 @@ def make_train_step(
             metrics["hist_normalized_attention"] = device_histogram(
                 aux["normalized_attention"])
         return new_state, metrics
+
+    step._train_core = _train_core
+    return step
+
+
+def make_fused_train_step(
+    model: Feat3DNet,
+    tx: optax.GradientTransformation,
+    margin: float,
+    use_attention: bool,
+    augmentations: Optional[tuple] = None,
+    aug_seed: int = 0,
+) -> Callable:
+    """Single-dispatch train step: `step(state, clouds)` with clouds the
+    stacked (3B, N, 3) triplet batch — anchors | positives | negatives.
+
+    Through the remote-TPU tunnel every host->device array and every
+    un-jitted dispatch is its own ~40 ms round-trip; the reference-style
+    loop (3 uploads + 3 augmentation dispatches + step) is bound by those,
+    not by the 21 ms device step. This variant folds EVERYTHING into one
+    executable per step: the augmentation key is derived on device from
+    state.step (no host-side RNG dispatches), augmentation runs inside the
+    jit, and the caller ships one pre-stacked array (ideally device_put
+    from the prefetch thread — data/datagenerator.prefetch(transform=...)).
+    """
+    base = make_train_step(model, tx, margin, use_attention)
+    core = base._train_core
+
+    def step(state: TrainState, clouds: Array):
+        clouds = clouds[..., :3]
+        if augmentations:
+            from feat3dnet_tpu.data.augment import augment_clouds
+
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(aug_seed), state.step)
+            clouds = augment_clouds(key, clouds, augmentations)
+        return core(state, clouds)
 
     return step
 

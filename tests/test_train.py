@@ -65,3 +65,43 @@ def test_stage1_config_noattention_noregress(rng):
     step = jax.jit(make_train_step(model, tx, cfg.margin, cfg.attention))
     state, metrics = step(state, *_triplet_batch(rng))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fused_train_step_matches_unfused(rng):
+    """make_fused_train_step on the stacked batch must be bit-equivalent to
+    make_train_step on the triplet (no augmentations)."""
+    from feat3dnet_tpu.train.trainer import make_fused_train_step
+
+    model = Feat3DNet(CFG)
+    state1, tx = init_state(model, TCFG, CFG, jax.random.PRNGKey(0))
+    state2 = jax.tree.map(lambda x: x, state1)
+    step = jax.jit(make_train_step(model, tx, 1.0, CFG.attention))
+    fused = jax.jit(make_fused_train_step(model, tx, 1.0, CFG.attention))
+    a, p, n = _triplet_batch(rng)
+    stacked = jnp.concatenate([a, p, n], axis=0)
+    for _ in range(3):
+        state1, m1 = step(state1, a, p, n)
+        state2, m2 = fused(state2, stacked)
+    assert float(m1["loss"]) == float(m2["loss"])
+    jax.tree.map(np.testing.assert_array_equal, state1.params, state2.params)
+
+
+def test_fused_train_step_augmented_deterministic(rng):
+    """Augmentation inside the fused step: deterministic per state.step and
+    actually perturbs the inputs (loss differs from the unaugmented step)."""
+    from feat3dnet_tpu.train.trainer import make_fused_train_step
+
+    model = Feat3DNet(CFG)
+    state, tx = init_state(model, TCFG, CFG, jax.random.PRNGKey(0))
+    state_b = jax.tree.map(lambda x: x, state)
+    fused = jax.jit(make_fused_train_step(
+        model, tx, 1.0, CFG.attention,
+        augmentations=("RotateSmall", "Jitter"), aug_seed=7))
+    plain = jax.jit(make_fused_train_step(model, tx, 1.0, CFG.attention))
+    a, p, n = _triplet_batch(rng)
+    stacked = jnp.concatenate([a, p, n], axis=0)
+    _, m1 = fused(state, stacked)
+    _, m1b = fused(state_b, stacked)
+    assert float(m1["loss"]) == float(m1b["loss"])   # same step -> same key
+    _, m2 = plain(state_b, stacked)
+    assert float(m1["loss"]) != float(m2["loss"])
