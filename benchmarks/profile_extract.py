@@ -62,9 +62,16 @@ def main():
     valid_j = jnp.asarray(valid)
     print(f"cloud n={n} bucket={nb}", flush=True)
 
-    # 1. full fused extract
-    fn = pipe._extract_fn(nb)
-    t = timed_device_call(lambda: fn(pipe.variables, xyz, valid_j))
+    # 1. full fused extract (includes host sort + CSR build + transfers on
+    # the hashed path — i.e. the real per-cloud cost)
+    if pipe._use_hashed():
+        def fused_call():
+            packed, s_att, s_nms = pipe._host_sort_packed(padded, valid)
+            return pipe._extract_fn(nb, (s_att, s_nms))(pipe.variables, packed)
+    else:
+        def fused_call():
+            return pipe._extract_fn(nb)(pipe.variables, xyz, valid_j)
+    t = timed_device_call(fused_call)
     print(f"extract total:            {t * 1e3:8.1f} ms", flush=True)
 
     # 2. chunked attention alone
@@ -110,18 +117,37 @@ def main():
 
     # 5. hashed-path stages (the TPU fast path inside the fused extract)
     if pipe._use_hashed():
-        from feat3dnet_tpu.ops.hash_grid import ball_max_sorted
+        import time as _time
+
+        from feat3dnet_tpu.ops.hash_grid import ball_max_csr
+
+        t0 = _time.time()
+        packed, s_att, s_nms = pipe._host_sort_packed(padded, valid)
+        print(f"  host sort + CSR build:  {(_time.time() - t0) * 1e3:8.1f} ms"
+              f"  (csr steps: att {s_att}, nms {s_nms})", flush=True)
 
         pts4, bbox, invp = pipe._host_sort(xyz, valid_j)
         core = jax.jit(pipe._hashed_attention_sorted(nb))
         t = timed_device_call(lambda: core(pipe.variables, pts4, bbox))
-        print(f"  hashed attention:       {t * 1e3:8.1f} ms", flush=True)
+        print(f"  hashed attention (dense grid): {t * 1e3:8.1f} ms", flush=True)
 
         att_s = core(pipe.variables, pts4, bbox)[0]
-        bm = jax.jit(lambda p, b, a: ball_max_sorted(
-            p, b, a, float(icfg.nms_radius)))
-        t = timed_device_call(lambda: bm(pts4, bbox, att_s))
-        print(f"  hashed nms ball-max:    {t * 1e3:8.1f} ms", flush=True)
+        if s_nms:
+            o = nb * 5 + 2 * s_att
+            t_nms = jnp.asarray(packed[o:o + s_nms].astype(np.int32))
+            b_nms = jnp.asarray(packed[o + s_nms:o + 2 * s_nms].astype(np.int32))
+            bm = jax.jit(lambda p, a, ti, bi: ball_max_csr(
+                p, a, ti, bi, float(icfg.nms_radius),
+                block_size=pipe._HASH_BLOCK, tile=pipe._HASH_TILE))
+            t = timed_device_call(lambda: bm(pts4, att_s, t_nms, b_nms))
+            print(f"  hashed nms ball-max (CSR): {t * 1e3:8.1f} ms", flush=True)
+        else:
+            from feat3dnet_tpu.ops.hash_grid import ball_max_sorted
+
+            bm = jax.jit(lambda p, b, a: ball_max_sorted(
+                p, b, a, float(icfg.nms_radius)))
+            t = timed_device_call(lambda: bm(pts4, bbox, att_s))
+            print(f"  hashed nms ball-max:    {t * 1e3:8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

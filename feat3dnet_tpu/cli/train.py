@@ -76,12 +76,12 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from feat3dnet_tpu.config import ModelConfig, TrainConfig
-    from feat3dnet_tpu.data import TripletDataset, augment_clouds, prefetch
+    from feat3dnet_tpu.data import TripletDataset, prefetch
     from feat3dnet_tpu.data.augment import resolve_augmentations
     from feat3dnet_tpu.eval import ClusterPairValidator
     from feat3dnet_tpu.models import get_network
-    from feat3dnet_tpu.parallel import make_dp_train_step, make_mesh, shard_batch
-    from feat3dnet_tpu.train.trainer import init_state, make_optimizer, make_train_step
+    from feat3dnet_tpu.parallel import make_mesh
+    from feat3dnet_tpu.train.trainer import init_state, make_optimizer
     from feat3dnet_tpu.utils import enable_compilation_cache
     from feat3dnet_tpu.utils.checkpoint import CheckpointManager
     from feat3dnet_tpu.utils.logging import setup_logging
@@ -132,16 +132,22 @@ def main(argv=None):
         state = src.restore(state, restore_exclude=args.restore_exclude)
         logger.info("Restored checkpoint at step %d", int(state.step))
 
+    # Single-dispatch fused step everywhere: augmentation inside the jit,
+    # aug key derived on device from state.step, one stacked (3B, N, 3)
+    # upload per step (batch-sharded over the mesh when num_devices > 1 —
+    # GSPMD inserts the grad all-reduce + global-BN moment reductions).
     aug_names = tuple(resolve_augmentations(tcfg.augmentations, tcfg.upright_axis))
-    fused_single = args.num_devices <= 1
-    if not fused_single:
+    batch_sharding = None
+    if args.num_devices > 1:
+        from feat3dnet_tpu.parallel import make_fused_dp_train_step
+        from jax.sharding import NamedSharding, PartitionSpec
+
         mesh = make_mesh(args.num_devices)
-        step_fn = make_dp_train_step(model, tx, mcfg.margin, mcfg.attention, mesh)
-        place = lambda b: shard_batch(b, mesh)
+        step_fn = make_fused_dp_train_step(
+            model, tx, mcfg.margin, mcfg.attention, mesh,
+            augmentations=aug_names or None, aug_seed=args.seed + 1)
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
     else:
-        # single-dispatch step: augmentation inside the jit, aug key derived
-        # on device from state.step, one stacked upload per step (see
-        # make_fused_train_step)
         from feat3dnet_tpu.train.trainer import make_fused_train_step
 
         step_fn = jax.jit(
@@ -161,17 +167,15 @@ def main(argv=None):
 
     writer = MetricsWriter(os.path.join(args.log_dir, "metrics.jsonl"),
                            tensorboard=args.tensorboard)
-    aug_key = jax.random.PRNGKey(args.seed + 1)
 
-    if fused_single:
-        # stack the triplet and upload from the prefetch worker thread —
-        # one device transfer per step, overlapped with compute
-        def to_device(batch):
-            a, p, n = batch
-            return jax.device_put(np.concatenate(
-                [a[..., :3], p[..., :3], n[..., :3]], axis=0))
-    else:
-        to_device = None
+    # stack the triplet and upload from the prefetch worker thread —
+    # one device transfer per step, overlapped with compute
+    def to_device(batch):
+        a, p, n = batch
+        stacked = np.concatenate([a[..., :3], p[..., :3], n[..., :3]], axis=0)
+        if batch_sharding is not None:
+            return jax.device_put(stacked, batch_sharding)
+        return jax.device_put(stacked)
 
     # host-side step mirror: state.step is step0 + i by construction, so
     # hook scheduling needs no per-step device->host readback (which would
@@ -182,16 +186,7 @@ def main(argv=None):
         for batch in prefetch(dataset.epoch_triplets(
                 epoch, tcfg.batch_size, tcfg.num_points, tcfg.crop_radius),
                 transform=to_device):
-            if fused_single:
-                state, metrics = step_fn(state, batch)
-            else:
-                a, p, n = (jnp.asarray(x[..., :3]) for x in batch)
-                if aug_names:
-                    aug_key, k1, k2, k3 = jax.random.split(aug_key, 4)
-                    a = augment_clouds(k1, a, aug_names)
-                    p = augment_clouds(k2, p, aug_names)
-                    n = augment_clouds(k3, n, aug_names)
-                state, metrics = step_fn(state, *place((a, p, n)))
+            state, metrics = step_fn(state, batch)
             step += 1
             if step % args.summary_every_n_steps == 0:
                 loss = float(metrics["loss"])

@@ -141,11 +141,7 @@ class InferencePipeline:
         chunk = self._chunk_size(n_bucket)
         n_chunks = n_bucket // chunk
 
-        def attention_sorted(variables, pts4, blk_bbox):
-            sc = SortedCloud(pts4=pts4, blk_bbox=blk_bbox, orig_idx=None,
-                             inv_perm=None, block_size=0)
-            centers_sorted = pts4[:, :3]
-            grouped, _, _ = ball_query_grouped_sorted(sc, centers_sorted, r, ns)
+        def detector_on_grouped(variables, grouped, centers_sorted):
             normalized = (grouped - centers_sorted[:, None, :]) / r
 
             def one_chunk(start):
@@ -159,6 +155,14 @@ class InferencePipeline:
             att_s, ori_s = jax.lax.map(one_chunk, starts)
             return att_s.reshape(-1), ori_s.reshape(-1)
 
+        def attention_sorted(variables, pts4, blk_bbox):
+            sc = SortedCloud(pts4=pts4, blk_bbox=blk_bbox, orig_idx=None,
+                             inv_perm=None, block_size=0)
+            centers_sorted = pts4[:, :3]
+            grouped, _, _ = ball_query_grouped_sorted(sc, centers_sorted, r, ns)
+            return detector_on_grouped(variables, grouped, centers_sorted)
+
+        attention_sorted.detector_on_grouped = detector_on_grouped
         return attention_sorted
 
     def _hashed_attention_impl(self, n_bucket: int):
@@ -186,36 +190,55 @@ class InferencePipeline:
 
     _HASH_BLOCK = 256   # Morton block size for the hashed path (buckets are
                         # power-of-two multiples of 256, so np_ == n_bucket)
+    _HASH_TILE = 128    # center-tile rows per kernel step
 
     def _host_sort_packed(self, padded_np: np.ndarray, valid_np: np.ndarray):
-        """One flat f32 upload buffer: [pts4 | blk_bbox | inv_perm].
+        """One flat f32 upload buffer:
+        [pts4 | inv_perm | att CSR (tile_of, blk_of) | nms CSR].
 
         Every host->device array is its own ~40 ms tunnel round-trip, so the
         hashed extract ships exactly ONE array per cloud. The original-order
         cloud and validity are reconstructed on device from pts4 + inv_perm
         (invalid points sit at +1e9, which the valid_mask paths treat
-        identically to the original zero padding)."""
-        from feat3dnet_tpu.ops.hash_grid import build_sorted_cloud_host
+        identically to the original zero padding). The two hit lists (the
+        grouping radius and the NMS radius) drive the CSR kernels — only
+        bbox-passing (tile, block) pairs are visited; lengths are bucketed
+        to powers of two, and the executable is cached per
+        (n_bucket, s_att, s_nms). Returns (packed, s_att, s_nms)."""
+        from feat3dnet_tpu.ops.hash_grid import (build_hit_csr_host,
+                                                 build_sorted_cloud_host)
 
         sc = build_sorted_cloud_host(padded_np[0, :, :3], valid_np[0],
                                      cell_size=float(self.mcfg.base_scale),
                                      block_size=self._HASH_BLOCK)
-        return np.concatenate([
-            sc.pts4.ravel(),
-            sc.blk_bbox.ravel(),
-            sc.inv_perm.astype(np.float32),   # exact for n_bucket < 2^24
+        base = [sc.pts4.ravel(),
+                sc.inv_perm.astype(np.float32)]  # exact for n_bucket < 2^24
+        if not self.icfg.use_csr_kernels:
+            return np.concatenate(base), 0, 0
+        centers = sc.pts4[:, :3]
+        t_att, b_att = build_hit_csr_host(
+            centers, sc.blk_bbox, float(self.mcfg.base_scale),
+            self._HASH_TILE)
+        t_nms, b_nms = build_hit_csr_host(
+            centers, sc.blk_bbox, float(self.icfg.nms_radius),
+            self._HASH_TILE)
+        packed = np.concatenate(base + [
+            t_att.astype(np.float32), b_att.astype(np.float32),
+            t_nms.astype(np.float32), b_nms.astype(np.float32),
         ])
+        return packed, t_att.size, t_nms.size
 
-    def _extract_fn(self, n_bucket: int):
+    def _extract_fn(self, n_bucket: int, csr_sizes: Optional[Tuple[int, int]] = None):
         """Fused single-dispatch extraction: attention everywhere (hashed
-        fast path on TPU, chunked XLA otherwise) → on-device NMS (the
+        CSR fast path on TPU, chunked XLA otherwise) → on-device NMS (the
         spatially-pruned ball-max kernel on the hashed path, the dense
         streamed max otherwise) → descriptors at the NMS keypoints, one
-        executable per bucket. One host round-trip per cloud instead of
-        three (the tunnel RTT is ~40 ms, comparable to the whole device
-        computation)."""
-        if n_bucket in self._extract_fns:
-            return self._extract_fns[n_bucket]
+        executable per (bucket, CSR-length buckets). One host round-trip
+        per cloud instead of three (the tunnel RTT is ~40 ms, comparable
+        to the whole device computation)."""
+        key = (n_bucket, csr_sizes)
+        if key in self._extract_fns:
+            return self._extract_fns[key]
 
         icfg = self.icfg
 
@@ -232,29 +255,66 @@ class InferencePipeline:
             return describe(variables, cloud, valid_mask, kp, kp_att, num)
 
         if self._use_hashed():
-            from feat3dnet_tpu.ops.hash_grid import ball_max_sorted
+            from feat3dnet_tpu.ops.hash_grid import (SortedCloud,
+                                                     ball_max_csr,
+                                                     ball_max_sorted,
+                                                     ball_query_grouped_csr,
+                                                     ball_query_grouped_sorted)
             from feat3dnet_tpu.ops.nms import select_keypoints
 
             core = self._hashed_attention_sorted(n_bucket)
             nb = n_bucket
-            n_blocks = nb // self._HASH_BLOCK
             k_max = icfg.max_keypoints
+            s_att, s_nms = csr_sizes
+            r = float(self.mcfg.base_scale)
+            ns = self.mcfg.num_samples
+            L, tc = self._HASH_BLOCK, self._HASH_TILE
 
             @jax.jit
             def impl(variables, packed):
-                pts4 = packed[:nb * 4].reshape(nb, 4)
-                blk_bbox = packed[nb * 4:nb * 4 + n_blocks * 8].reshape(
-                    n_blocks, 8)
-                inv_perm = packed[nb * 4 + n_blocks * 8:].astype(jnp.int32)
+                o = nb * 4
+                pts4 = packed[:o].reshape(nb, 4)
+                inv_perm = packed[o:o + nb].astype(jnp.int32)
+                o += nb
+                t_att = packed[o:o + s_att].astype(jnp.int32)
+                b_att = packed[o + s_att:o + 2 * s_att].astype(jnp.int32)
+                o += 2 * s_att
+                t_nms = packed[o:o + s_nms].astype(jnp.int32)
+                b_nms = packed[o + s_nms:o + 2 * s_nms].astype(jnp.int32)
                 cloud = pts4[inv_perm, :3][None]          # original order;
                 valid_mask = (cloud[..., 0] < 5.0e8)      # invalid -> +1e9
-                att_s, _ = core(variables, pts4, blk_bbox)
+                centers_sorted = pts4[:, :3]
+                if icfg.use_csr_kernels:
+                    sc = SortedCloud(pts4=pts4, blk_bbox=None, orig_idx=None,
+                                     inv_perm=None, block_size=0)
+                    grouped, _, _ = ball_query_grouped_csr(
+                        sc, centers_sorted, t_att, b_att, r, ns,
+                        block_size=L, tile=tc)
+                else:
+                    # block bboxes recomputed on device: a reshape-min/max,
+                    # ~free vs shipping them in the packed buffer
+                    blocks = centers_sorted.reshape(-1, L, 3)
+                    blk_bbox = jnp.concatenate(
+                        [jnp.min(blocks, axis=1), jnp.max(blocks, axis=1),
+                         jnp.zeros((blocks.shape[0], 2), jnp.float32)], axis=1)
+                    sc = SortedCloud(pts4=pts4, blk_bbox=blk_bbox,
+                                     orig_idx=None, inv_perm=None,
+                                     block_size=0)
+                    grouped, _, _ = ball_query_grouped_sorted(
+                        sc, centers_sorted, r, ns, tile=tc)
+                att_s, _ = core.detector_on_grouped(
+                    variables, grouped, centers_sorted)
                 # NMS survival on the sorted layout: a point survives iff
                 # its attention ties the ball max (same >= rule as
                 # nms_keypoints; invalid points sit at +1e9 in pts4 so they
                 # never enter a real ball).
-                ballmax = ball_max_sorted(pts4, blk_bbox, att_s,
-                                          float(icfg.nms_radius))
+                if icfg.use_csr_kernels:
+                    ballmax = ball_max_csr(pts4, att_s, t_nms, b_nms,
+                                           float(icfg.nms_radius),
+                                           block_size=L, tile=tc)
+                else:
+                    ballmax = ball_max_sorted(pts4, sc.blk_bbox, att_s,
+                                              float(icfg.nms_radius))
                 is_max = (att_s >= ballmax)[inv_perm]
                 att = att_s[inv_perm]
                 kp, kp_att, num = select_keypoints(
@@ -268,9 +328,8 @@ class InferencePipeline:
                     kp1.ravel(), feats.ravel(), kp_att1.ravel(),
                     num1.astype(jnp.float32)[None]])
 
-            def fn(variables, padded_np, valid_np):
-                packed = self._host_sort_packed(padded_np, valid_np)
-                out = np.asarray(impl(variables, jnp.asarray(packed)))
+            def fn(variables, packed_np):
+                out = np.asarray(impl(variables, jnp.asarray(packed_np)))
                 kp = out[:k_max * 3].reshape(k_max, 3)
                 o = k_max * 3
                 d = (out.shape[0] - 1 - o - k_max) // k_max
@@ -290,7 +349,7 @@ class InferencePipeline:
                     variables, jnp.asarray(padded_np), jnp.asarray(valid_np)))
                 return kp, feats, kp_att, int(num)
 
-        self._extract_fns[n_bucket] = fn
+        self._extract_fns[key] = fn
         return fn
 
     def _describe_fn(self, n_bucket: int, n_kp: int):
@@ -340,8 +399,13 @@ class InferencePipeline:
         if keypoints is None and self.mesh is None:
             # fused one-dispatch path: ONE upload + ONE download per cloud
             # (each separate array transfer is its own ~40 ms tunnel RTT)
-            kp, feats, kp_att, num_kp = self._extract_fn(n_bucket)(
-                self.variables, padded, valid)
+            if self._use_hashed():
+                packed, s_att, s_nms = self._host_sort_packed(padded, valid)
+                kp, feats, kp_att, num_kp = self._extract_fn(
+                    n_bucket, (s_att, s_nms))(self.variables, packed)
+            else:
+                kp, feats, kp_att, num_kp = self._extract_fn(n_bucket)(
+                    self.variables, padded, valid)
             return InferenceResult(
                 keypoints=kp[:num_kp],
                 features=feats[:num_kp],

@@ -33,8 +33,10 @@ from feat3dnet_tpu.ops.neighborhoods import (
     pairwise_sqdist,
 )
 from feat3dnet_tpu.ops.fps import farthest_point_sample
-from feat3dnet_tpu.ops.hash_grid import (ball_max_sorted,
+from feat3dnet_tpu.ops.hash_grid import (ball_max_csr, ball_max_sorted,
+                                         ball_query_grouped_csr,
                                          ball_query_grouped_sorted,
+                                         build_hit_csr_host,
                                          build_sorted_cloud, hashed_ball_query)
 from feat3dnet_tpu.ops.sampling import prob_sample
 from feat3dnet_tpu.ops.nms import nms_keypoints, select_keypoints
@@ -55,6 +57,9 @@ __all__ = [
     "select_keypoints",
     "hashed_ball_query",
     "ball_query_grouped_sorted",
+    "ball_query_grouped_csr",
     "ball_max_sorted",
+    "ball_max_csr",
+    "build_hit_csr_host",
     "build_sorted_cloud",
 ]

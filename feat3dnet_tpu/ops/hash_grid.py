@@ -215,6 +215,15 @@ def _block_hitmask(tbox: Array, blk_bbox: Array, r2: float) -> Array:
         axis=-1).astype(jnp.int32)                           # (Ti, NBW)
 
 
+def _init_merge_buffers(topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+                        tc: int, ns: int):
+    topx_ref[...] = jnp.zeros((tc, ns), jnp.float32)
+    topy_ref[...] = jnp.zeros((tc, ns), jnp.float32)
+    topz_ref[...] = jnp.zeros((tc, ns), jnp.float32)
+    topk_ref[...] = jnp.full((tc, ns), _BIG, jnp.float32)
+    cnt_ref[...] = jnp.zeros((tc, 1), jnp.float32)
+
+
 def _bq_kernel(hit_ref, ctr_ref, ptsT_ref,
                topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                *, r2: float, tc: int, L: int, ns: int):
@@ -234,11 +243,8 @@ def _bq_kernel(hit_ref, ctr_ref, ptsT_ref,
 
     @pl.when(j == 0)
     def _init():
-        topx_ref[...] = jnp.zeros((tc, ns), jnp.float32)
-        topy_ref[...] = jnp.zeros((tc, ns), jnp.float32)
-        topz_ref[...] = jnp.zeros((tc, ns), jnp.float32)
-        topk_ref[...] = jnp.full((tc, ns), _BIG, jnp.float32)
-        cnt_ref[...] = jnp.zeros((tc, 1), jnp.float32)
+        _init_merge_buffers(topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+                            tc, ns)
 
     # bbox cull decision, precomputed in XLA and bit-packed (SMEM scalar)
     word = hit_ref[i, j // 32]
@@ -246,94 +252,101 @@ def _bq_kernel(hit_ref, ctr_ref, ptsT_ref,
 
     @pl.when(hit)
     def _process():
-        ptsT = ptsT_ref[...]                                 # (4, L) rows x|y|z|orig
-        ctr = ctr_ref[...]                                   # (TC, 4)
-        d2 = jnp.zeros((tc, L), jnp.float32)
-        for d in range(3):
-            dd = ctr[:, d:d + 1] - ptsT[d:d + 1, :]
-            d2 = d2 + dd * dd
-        in_ball = d2 < r2                                    # (TC, L)
-        korig = ptsT[3:4, :]                                 # (1, L) ascending
-        key = jnp.where(in_ball, korig, _BIG)                # (TC, L)
-        # Exact whole-block skip: a candidate can only enter center t's
-        # buffer if its key beats the buffer's worst entry (topk[:, -1] is
-        # _BIG while unfilled, so unfilled buffers always accept). As
-        # buffers saturate with small original indices, later Morton
-        # blocks (uniformly distributed keys) skip their entire merge.
-        worst = topk_ref[:, ns - 1:ns]                       # (TC, 1)
-        can_add = jnp.min(key, axis=1, keepdims=True) < worst
+        _merge_block(ctr_ref, ptsT_ref, topx_ref, topy_ref, topz_ref,
+                     topk_ref, cnt_ref, r2=r2, tc=tc, L=L, ns=ns)
 
-        @pl.when(jnp.any(can_add))
-        def _merge():
-            ib = in_ball.astype(jnp.float32)
-            # in-block rank among candidates: inclusive prefix count (MXU)
-            tri = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-                   <= jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-                   ).astype(jnp.float32)
-            rank_b = jnp.dot(ib, tri, preferred_element_type=jnp.float32)
 
-            topx = topx_ref[...]
-            topy = topy_ref[...]
-            topz = topz_ref[...]
-            topk = topk_ref[...]                             # (TC, ns) ascending
+def _merge_block(ctr_ref, ptsT_ref, topx_ref, topy_ref, topz_ref,
+                 topk_ref, cnt_ref, *, r2: float, tc: int, L: int, ns: int):
+    """One (center-tile × point-block) step of the running exact merge."""
+    ptsT = ptsT_ref[...]                                 # (4, L) rows x|y|z|orig
+    ctr = ctr_ref[...]                                   # (TC, 4)
+    d2 = jnp.zeros((tc, L), jnp.float32)
+    for d in range(3):
+        dd = ctr[:, d:d + 1] - ptsT[d:d + 1, :]
+        d2 = d2 + dd * dd
+    in_ball = d2 < r2                                    # (TC, L)
+    korig = ptsT[3:4, :]                                 # (1, L) ascending
+    key = jnp.where(in_ball, korig, _BIG)                # (TC, L)
+    # Exact whole-block skip: a candidate can only enter center t's
+    # buffer if its key beats the buffer's worst entry (topk[:, -1] is
+    # _BIG while unfilled, so unfilled buffers always accept). As
+    # buffers saturate with small original indices, later Morton
+    # blocks (uniformly distributed keys) skip their entire merge.
+    worst = topk_ref[:, ns - 1:ns]                       # (TC, 1)
+    can_add = jnp.min(key, axis=1, keepdims=True) < worst
 
-            # merged 1-based position of candidate l: #buffer keys smaller
-            # + in-block rank (keys are unique original indices)
-            smaller_top = jnp.zeros((tc, L), jnp.float32)
-            for s in range(ns):
-                smaller_top = smaller_top + (
-                    topk[:, s:s + 1] < key).astype(jnp.float32)
-            pos_b = jnp.where(in_ball, smaller_top + rank_b, 0.0)  # (TC, L)
+    @pl.when(jnp.any(can_add))
+    def _merge():
+        ib = in_ball.astype(jnp.float32)
+        # in-block rank among candidates: inclusive prefix count (MXU)
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+               <= jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+               ).astype(jnp.float32)
+        rank_b = jnp.dot(ib, tri, preferred_element_type=jnp.float32)
 
-            # route candidates into their merged slots (slots are 1-based;
-            # pos 0 = not in ball, pos > ns = past the buffer -> dropped)
-            ax, ay, az, ak = [], [], [], []
-            for sp in range(ns):
-                m = (jnp.abs(pos_b - (sp + 1.0)) < 0.5).astype(jnp.float32)
-                ax.append(jnp.sum(m * ptsT[0:1, :], axis=1, keepdims=True))
-                ay.append(jnp.sum(m * ptsT[1:2, :], axis=1, keepdims=True))
-                az.append(jnp.sum(m * ptsT[2:3, :], axis=1, keepdims=True))
-                ak.append(jnp.sum(m * korig, axis=1, keepdims=True))
-            addx = jnp.concatenate(ax, axis=1)               # (TC, ns)
-            addy = jnp.concatenate(ay, axis=1)
-            addz = jnp.concatenate(az, axis=1)
-            addk = jnp.concatenate(ak, axis=1)
+        topx = topx_ref[...]
+        topy = topy_ref[...]
+        topz = topz_ref[...]
+        topk = topk_ref[...]                             # (TC, ns) ascending
 
-            # merged 1-based position of buffer entry s: s+1 + #cands with a
-            # smaller key. Buffer keys ascend, so that count equals
-            # #{in-ball l: smaller_top[l] <= s} (sentinel slots included:
-            # smaller_top <= fill <= s always holds there).
-            sc_cols = []
-            for s in range(ns):
-                below = ib * (smaller_top < s + 0.5).astype(jnp.float32)
-                sc_cols.append(jnp.sum(below, axis=1, keepdims=True))
-            smaller_cand = jnp.concatenate(sc_cols, axis=1)  # (TC, ns)
-            slot_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (tc, ns), 1).astype(jnp.float32)
-            pos_t = slot_iota + 1.0 + smaller_cand           # (TC, ns)
+        # merged 1-based position of candidate l: #buffer keys smaller
+        # + in-block rank (keys are unique original indices)
+        smaller_top = jnp.zeros((tc, L), jnp.float32)
+        for s in range(ns):
+            smaller_top = smaller_top + (
+                topk[:, s:s + 1] < key).astype(jnp.float32)
+        pos_b = jnp.where(in_ball, smaller_top + rank_b, 0.0)  # (TC, L)
 
-            # route surviving buffer entries to their shifted slots
-            keptx = jnp.zeros((tc, ns), jnp.float32)
-            kepty = jnp.zeros((tc, ns), jnp.float32)
-            keptz = jnp.zeros((tc, ns), jnp.float32)
-            keptk = jnp.zeros((tc, ns), jnp.float32)
-            for s in range(ns):
-                m = (jnp.abs(pos_t[:, s:s + 1] - (slot_iota + 1.0)) < 0.5
-                     ).astype(jnp.float32)                   # (TC, ns)
-                keptx = keptx + topx[:, s:s + 1] * m
-                kepty = kepty + topy[:, s:s + 1] * m
-                keptz = keptz + topz[:, s:s + 1] * m
-                keptk = keptk + topk[:, s:s + 1] * m
+        # route candidates into their merged slots (slots are 1-based;
+        # pos 0 = not in ball, pos > ns = past the buffer -> dropped)
+        ax, ay, az, ak = [], [], [], []
+        for sp in range(ns):
+            m = (jnp.abs(pos_b - (sp + 1.0)) < 0.5).astype(jnp.float32)
+            ax.append(jnp.sum(m * ptsT[0:1, :], axis=1, keepdims=True))
+            ay.append(jnp.sum(m * ptsT[1:2, :], axis=1, keepdims=True))
+            az.append(jnp.sum(m * ptsT[2:3, :], axis=1, keepdims=True))
+            ak.append(jnp.sum(m * korig, axis=1, keepdims=True))
+        addx = jnp.concatenate(ax, axis=1)               # (TC, ns)
+        addy = jnp.concatenate(ay, axis=1)
+        addz = jnp.concatenate(az, axis=1)
+        addk = jnp.concatenate(ak, axis=1)
 
-            cnt_new = cnt_ref[...] + jnp.sum(ib, axis=1, keepdims=True)
-            # slots past the merged fill level received no one-hot hit and
-            # read 0 — restore the sentinel on their key channel
-            filled = slot_iota < jnp.minimum(cnt_new, float(ns))   # (TC, ns)
-            topx_ref[...] = keptx + addx
-            topy_ref[...] = kepty + addy
-            topz_ref[...] = keptz + addz
-            topk_ref[...] = jnp.where(filled, keptk + addk, _BIG)
-            cnt_ref[...] = cnt_new
+        # merged 1-based position of buffer entry s: s+1 + #cands with a
+        # smaller key. Buffer keys ascend, so that count equals
+        # #{in-ball l: smaller_top[l] <= s} (sentinel slots included:
+        # smaller_top <= fill <= s always holds there).
+        sc_cols = []
+        for s in range(ns):
+            below = ib * (smaller_top < s + 0.5).astype(jnp.float32)
+            sc_cols.append(jnp.sum(below, axis=1, keepdims=True))
+        smaller_cand = jnp.concatenate(sc_cols, axis=1)  # (TC, ns)
+        slot_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (tc, ns), 1).astype(jnp.float32)
+        pos_t = slot_iota + 1.0 + smaller_cand           # (TC, ns)
+
+        # route surviving buffer entries to their shifted slots
+        keptx = jnp.zeros((tc, ns), jnp.float32)
+        kepty = jnp.zeros((tc, ns), jnp.float32)
+        keptz = jnp.zeros((tc, ns), jnp.float32)
+        keptk = jnp.zeros((tc, ns), jnp.float32)
+        for s in range(ns):
+            m = (jnp.abs(pos_t[:, s:s + 1] - (slot_iota + 1.0)) < 0.5
+                 ).astype(jnp.float32)                   # (TC, ns)
+            keptx = keptx + topx[:, s:s + 1] * m
+            kepty = kepty + topy[:, s:s + 1] * m
+            keptz = keptz + topz[:, s:s + 1] * m
+            keptk = keptk + topk[:, s:s + 1] * m
+
+        cnt_new = cnt_ref[...] + jnp.sum(ib, axis=1, keepdims=True)
+        # slots past the merged fill level received no one-hot hit and
+        # read 0 — restore the sentinel on their key channel
+        filled = slot_iota < jnp.minimum(cnt_new, float(ns))   # (TC, ns)
+        topx_ref[...] = keptx + addx
+        topy_ref[...] = kepty + addy
+        topz_ref[...] = keptz + addz
+        topk_ref[...] = jnp.where(filled, keptk + addk, _BIG)
+        cnt_ref[...] = cnt_new
 
 
 @partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
@@ -414,7 +427,13 @@ def ball_query_grouped_sorted(
     top, cnt_raw = _bq_sorted_raw(sc.pts4, sc.blk_bbox, centers,
                                   float(radius), nsample, tile=tile,
                                   interpret=interpret)
-    ns = nsample
+    return _finish_grouped(top, cnt_raw, centers, nsample)
+
+
+def _finish_grouped(top: Array, cnt_raw: Array, centers: Array, ns: int
+                    ) -> Tuple[Array, Array, Array]:
+    """Repeat-pad + empty-ball handling shared by the dense-grid and CSR
+    merge drivers (reference pad semantics, tf_grouping_g.cu:27-35)."""
     cnt = jnp.minimum(cnt_raw, ns).astype(jnp.int32)              # (M,)
     slot = jnp.arange(ns, dtype=jnp.int32)
     filled = slot[None, :] < cnt[:, None]                         # (M, ns)
@@ -589,3 +608,219 @@ def hashed_ball_query(
 
     idx = jax.lax.cond(need, with_fallback, lambda i: i, idx)
     return idx[None], cnt[None]
+
+
+# ---------------------------------------------------------------------------
+# CSR (scalar-prefetch) variants: iterate ONLY the (tile, block) pairs whose
+# bboxes pass the cull, instead of the full tiles x blocks grid. At 131k
+# points the dense grid is ~97% skipped steps, and skipped steps still pay
+# ~0.4 us of grid sequencing each (~200 ms of pure iteration); the CSR
+# walk removes that entirely. The hit list is built on the HOST (the cloud
+# is host-resident at pipeline entry and the Morton sort already runs
+# there), sorted by tile so each tile's output block stays resident in
+# VMEM across its consecutive steps.
+# ---------------------------------------------------------------------------
+
+
+def build_hit_csr_host(centers, blk_bbox, radius: float, tile: int,
+                       bucket: bool = True):
+    """Host-side hit list: (tile_of, blk_of) int32 arrays, tile-sorted.
+
+    centers: (Mp, 3) numpy, Mp divisible by `tile` (invalid at +1e9).
+    blk_bbox: (NB, 8) numpy from build_sorted_cloud_host.
+
+    Every tile appears at least once (hitless tiles get one entry pointing
+    at the sentinel block NB — the drivers append a block of +1e9 points —
+    so their output buffers are still initialized). The list is padded to
+    the next power of two with copies of (last tile, NB), which are
+    guaranteed no-ops.
+    """
+    import numpy as np
+
+    c = np.asarray(centers, np.float32).reshape(-1, tile, 3)
+    tmin, tmax = c.min(axis=1), c.max(axis=1)                  # (T, 3)
+    lo = blk_bbox[None, :, :3] - tmax[:, None, :]
+    hi = tmin[:, None, :] - blk_bbox[None, :, 3:6]
+    gap = np.maximum(np.maximum(lo, hi), 0.0)
+    hits = (gap * gap).sum(-1) < np.float32(radius) ** 2       # (T, NB)
+
+    nb = blk_bbox.shape[0]
+    t_idx, b_idx = np.nonzero(hits)                            # tile-sorted
+    missing = np.nonzero(~hits.any(axis=1))[0]
+    if missing.size:
+        t_idx = np.concatenate([t_idx, missing])
+        b_idx = np.concatenate([b_idx, np.full(missing.size, nb)])
+        order = np.argsort(t_idx, kind="stable")
+        t_idx, b_idx = t_idx[order], b_idx[order]
+    s = t_idx.size
+    if bucket:
+        cap = 1 << max(3, (s - 1).bit_length())
+        t_idx = np.concatenate(
+            [t_idx, np.full(cap - s, t_idx[-1], t_idx.dtype)])
+        b_idx = np.concatenate([b_idx, np.full(cap - s, nb, b_idx.dtype)])
+    return t_idx.astype(np.int32), b_idx.astype(np.int32)
+
+
+def _bq_csr_kernel(tile_of, blk_of, ctr_ref, ptsT_ref,
+                   topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+                   *, r2: float, tc: int, L: int, ns: int):
+    k = pl.program_id(0)
+    t = tile_of[k]
+    prev = tile_of[jnp.maximum(k - 1, 0)]
+
+    @pl.when(jnp.logical_or(k == 0, t != prev))
+    def _init():
+        _init_merge_buffers(topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+                            tc, ns)
+
+    _merge_block(ctr_ref, ptsT_ref, topx_ref, topy_ref, topz_ref,
+                 topk_ref, cnt_ref, r2=r2, tc=tc, L=L, ns=ns)
+
+
+@partial(jax.jit, static_argnames=("radius", "nsample", "block_size", "tile",
+                                   "interpret"))
+def _bq_csr_raw(sc_pts4: Array, centers: Array, tile_of: Array, blk_of: Array,
+                radius: float, nsample: int, block_size: int = 256,
+                tile: int = 128, interpret: Optional[bool] = None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m = centers.shape[0]
+    L = block_size
+    ns = nsample
+    tc = tile
+    pad = -m % tc
+    centers_p = jnp.pad(centers.astype(jnp.float32), ((0, pad), (0, 0)),
+                        constant_values=_FAR)
+    mp = m + pad
+    ctr4 = jnp.concatenate(
+        [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
+    # sentinel block NB: +1e9 points that can never fall in a real ball
+    ptsT_ext = jnp.concatenate(
+        [sc_pts4.T, jnp.full((4, L), _FAR, jnp.float32)], axis=1)
+    r2 = float(radius) ** 2
+    steps = tile_of.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((tc, 4), lambda k, tof, bof: (tof[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, L), lambda k, tof, bof: (0, bof[k]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            [pl.BlockSpec((tc, ns), lambda k, tof, bof: (tof[k], 0),
+                          memory_space=pltpu.VMEM) for _ in range(4)]
+            + [pl.BlockSpec((tc, 1), lambda k, tof, bof: (tof[k], 0),
+                            memory_space=pltpu.VMEM)]),
+    )
+    topx, topy, topz, topk, cnt = pl.pallas_call(
+        partial(_bq_csr_kernel, r2=r2, tc=tc, L=L, ns=ns),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, ns), jnp.float32),
+            jax.ShapeDtypeStruct((mp, ns), jnp.float32),
+            jax.ShapeDtypeStruct((mp, ns), jnp.float32),
+            jax.ShapeDtypeStruct((mp, ns), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(tile_of, blk_of, ctr4, ptsT_ext)
+    top = jnp.stack([topx, topy, topz, topk], axis=-1)
+    return top[:m], cnt[:m, 0]
+
+
+def ball_query_grouped_csr(
+    sc: SortedCloud, centers: Array, tile_of: Array, blk_of: Array,
+    radius: float, nsample: int, block_size: int = 256, tile: int = 128,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array, Array]:
+    """ball_query_grouped_sorted with a precomputed host-side hit list
+    (build_hit_csr_host) — identical outputs, no skipped grid steps."""
+    top, cnt_raw = _bq_csr_raw(sc.pts4, centers, tile_of, blk_of,
+                               float(radius), nsample,
+                               block_size=block_size, tile=tile,
+                               interpret=interpret)
+    return _finish_grouped(top, cnt_raw, centers, nsample)
+
+
+def _ballmax_csr_kernel(tile_of, blk_of, ctr_ref, pts_ref, max_ref,
+                        *, r2: float, tc: int, L: int):
+    k = pl.program_id(0)
+    t = tile_of[k]
+    prev = tile_of[jnp.maximum(k - 1, 0)]
+
+    @pl.when(jnp.logical_or(k == 0, t != prev))
+    def _init():
+        max_ref[...] = jnp.full((tc, 1), -_BIG, jnp.float32)
+
+    pts = pts_ref[...]                                       # (L, 4)
+    vals = pts[:, 3:4].reshape(1, L)
+    blkmax = jnp.max(vals)
+
+    @pl.when(blkmax > jnp.min(max_ref[...]))
+    def _scan_block():
+        ctr = ctr_ref[...]                                   # (TC, 4)
+        d2 = jnp.zeros((tc, L), jnp.float32)
+        for d in range(3):
+            dd = ctr[:, d:d + 1] - pts[:, d:d + 1].reshape(1, L)
+            d2 = d2 + dd * dd
+        neigh = jnp.where(d2 < r2, vals, -_BIG)
+        max_ref[...] = jnp.maximum(max_ref[...],
+                                   jnp.max(neigh, axis=1, keepdims=True))
+
+
+@partial(jax.jit, static_argnames=("radius", "block_size", "tile",
+                                   "interpret"))
+def ball_max_csr(sc_pts4: Array, values: Array, tile_of: Array,
+                 blk_of: Array, radius: float, block_size: int = 256,
+                 tile: int = 128,
+                 interpret: Optional[bool] = None) -> Array:
+    """ball_max_sorted with a precomputed host-side hit list."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    np_ = sc_pts4.shape[0]
+    L = block_size
+    tc = tile
+    pad = -np_ % tc
+    centers_p = jnp.pad(sc_pts4[:, :3], ((0, pad), (0, 0)),
+                        constant_values=_FAR)
+    mp = np_ + pad
+    ctr4 = jnp.concatenate(
+        [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
+    r2 = float(radius) ** 2
+    pts4v = jnp.concatenate([
+        jnp.concatenate(
+            [sc_pts4[:, :3], values.astype(jnp.float32)[:, None]], axis=1),
+        # sentinel block NB: +1e9 coords, -1e30 value — never wins
+        jnp.concatenate([jnp.full((L, 3), _FAR, jnp.float32),
+                         jnp.full((L, 1), -_BIG, jnp.float32)], axis=1),
+    ], axis=0)
+    steps = tile_of.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((tc, 4), lambda k, tof, bof: (tof[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4), lambda k, tof, bof: (bof[k], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tc, 1), lambda k, tof, bof: (tof[k], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        partial(_ballmax_csr_kernel, r2=r2, tc=tc, L=L),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(tile_of, blk_of, ctr4, pts4v)
+    return out[:np_, 0]

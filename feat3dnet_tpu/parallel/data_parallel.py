@@ -21,7 +21,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from feat3dnet_tpu.models.feat3dnet import Feat3DNet
-from feat3dnet_tpu.train.trainer import TrainState, make_train_step
+from feat3dnet_tpu.train.trainer import (TrainState, make_fused_train_step,
+                                         make_train_step)
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
@@ -49,6 +50,35 @@ def make_dp_train_step(
     return jax.jit(
         step,
         in_shardings=(repl, batch_sh, batch_sh, batch_sh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def make_fused_dp_train_step(
+    model: Feat3DNet,
+    tx: optax.GradientTransformation,
+    margin: float,
+    use_attention: bool,
+    mesh: Mesh,
+    augmentations=None,
+    aug_seed: int = 0,
+    axis_name: str = "data",
+    donate_state: bool = True,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
+    """DP version of make_fused_train_step: ONE stacked (3B, N, 3) batch
+    array sharded on its leading axis, augmentation + step in one
+    executable. Each of the three B-row segments must split across the
+    mesh (batch_size divisible by the mesh size), so the triplet split
+    inside the step stays shard-aligned."""
+    step = make_fused_train_step(model, tx, margin, use_attention,
+                                 augmentations=augmentations,
+                                 aug_seed=aug_seed)
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sh),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )

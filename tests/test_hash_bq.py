@@ -214,3 +214,45 @@ def test_host_sort_matches_device_sort(rng):
     np.testing.assert_array_equal(np.asarray(sc_d.blk_bbox), sc_h.blk_bbox)
     np.testing.assert_array_equal(np.asarray(sc_d.orig_idx), sc_h.orig_idx)
     np.testing.assert_array_equal(np.asarray(sc_d.inv_perm), sc_h.inv_perm)
+
+
+def test_csr_matches_dense_grid(rng):
+    """The CSR (scalar-prefetch) merge drivers must match the dense-grid
+    drivers exactly — grouped coords, indices, counts, and ball max —
+    including hitless tiles (far-away centers) and bucket padding."""
+    from feat3dnet_tpu.ops.hash_grid import (
+        SortedCloud, ball_max_csr, ball_max_sorted, ball_query_grouped_csr,
+        build_hit_csr_host, build_sorted_cloud_host)
+
+    n, r, ns, L, tc = 700, 1.5, 16, 64, 32
+    xyz = _clouds(rng, n, spread=14.0, clusters=4)
+    valid = rng.rand(n) > 0.1
+    sc = build_sorted_cloud_host(xyz, valid, cell_size=r, block_size=L)
+    pts4, bbox = jnp.asarray(sc.pts4), jnp.asarray(sc.blk_bbox)
+    scj = SortedCloud(pts4=pts4, blk_bbox=bbox, orig_idx=None,
+                      inv_perm=None, block_size=0)
+
+    # centers = sorted points, PLUS a far-away pad tail exercising
+    # hitless-tile init (every real tile hits its own block)
+    centers = np.concatenate(
+        [sc.pts4[:, :3], np.full((2 * tc, 3), 5.0e8, np.float32)])
+    tof, bof = build_hit_csr_host(
+        np.pad(centers, ((0, -len(centers) % tc), (0, 0)),
+               constant_values=1e9),
+        sc.blk_bbox, r, tc)
+    g_d, i_d, c_d = ball_query_grouped_sorted(
+        scj, jnp.asarray(centers), r, ns, tile=tc)
+    g_c, i_c, c_c = ball_query_grouped_csr(
+        scj, jnp.asarray(centers), jnp.asarray(tof), jnp.asarray(bof),
+        r, ns, block_size=L, tile=tc)
+    np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_d))
+    np.testing.assert_array_equal(np.asarray(c_c), np.asarray(c_d))
+    np.testing.assert_array_equal(np.asarray(g_c), np.asarray(g_d))
+
+    # ball max: CSR over the points themselves
+    vals = jnp.asarray(rng.rand(sc.pts4.shape[0]).astype(np.float32))
+    tof2, bof2 = build_hit_csr_host(sc.pts4[:, :3], sc.blk_bbox, 0.8, tc)
+    bm_d = ball_max_sorted(pts4, bbox, vals, 0.8, tile=tc)
+    bm_c = ball_max_csr(pts4, vals, jnp.asarray(tof2), jnp.asarray(bof2),
+                        0.8, block_size=L, tile=tc)
+    np.testing.assert_array_equal(np.asarray(bm_c), np.asarray(bm_d))

@@ -94,3 +94,39 @@ def test_inference_pipeline_with_mesh(rng):
     assert r1.num_keypoints == r2.num_keypoints
     np.testing.assert_allclose(r1.keypoints, r2.keypoints, atol=1e-5)
     np.testing.assert_allclose(r1.features, r2.features, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_dp_step_matches_fused_single(rng):
+    """The fused DP step (stacked batch sharded over the mesh, augmentation
+    in-jit) must match the fused single-device step — same tolerance story
+    as the unfused DP equivalence test above."""
+    from feat3dnet_tpu.parallel import make_fused_dp_train_step
+    from feat3dnet_tpu.train.trainer import make_fused_train_step
+
+    model = Feat3DNet(CFG)
+    state, tx = init_state(model, TCFG, CFG, jax.random.PRNGKey(0))
+    a, p, n = _batch(rng)
+    stacked = jnp.concatenate([a, p, n], axis=0)
+    aug = ("RotateSmall", "Jitter")
+
+    single = jax.jit(make_fused_train_step(
+        model, tx, 1.0, CFG.attention, augmentations=aug, aug_seed=3))
+    s1, m1 = single(state, stacked)
+
+    mesh = make_mesh()
+    dp = make_fused_dp_train_step(model, tx, 1.0, CFG.attention, mesh,
+                                  augmentations=aug, aug_seed=3,
+                                  donate_state=False)
+    from jax.sharding import NamedSharding, PartitionSpec
+    sharded = jax.device_put(stacked, NamedSharding(mesh, PartitionSpec("data")))
+    s2, m2 = dp(state, sharded)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    lr = TCFG.learning_rate
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=3 * lr)
+    for x, y in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
