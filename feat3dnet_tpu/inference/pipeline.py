@@ -328,14 +328,19 @@ class InferencePipeline:
                     kp1.ravel(), feats.ravel(), kp_att1.ravel(),
                     num1.astype(jnp.float32)[None]])
 
-            def fn(variables, packed_np):
-                out = np.asarray(impl(variables, jnp.asarray(packed_np)))
+            def unpack(out):
                 kp = out[:k_max * 3].reshape(k_max, 3)
                 o = k_max * 3
                 d = (out.shape[0] - 1 - o - k_max) // k_max
                 feats = out[o:o + k_max * d].reshape(k_max, d)
                 kp_att = out[o + k_max * d:-1]
                 return kp, feats, kp_att, int(out[-1])
+
+            def fn(variables, packed_np):
+                return unpack(np.asarray(impl(variables, jnp.asarray(packed_np))))
+
+            fn.impl = impl          # async dispatch half (extract_many)
+            fn.unpack = unpack      # host-side finish half
         else:
             chunked = self._chunked_attention(n_bucket)
 
@@ -440,6 +445,64 @@ class InferencePipeline:
             attention=att_at_kp[:num_kp],
             num_keypoints=num_kp,
         )
+
+    def extract_many(self, clouds, rng: Optional[np.random.RandomState] = None,
+                     depth: int = 2):
+        """Pipelined extraction over many clouds (throughput mode).
+
+        Three overlapping stages: (1) host Morton sort + packing for cloud
+        i+1 runs in a background thread while (2) the device computes cloud
+        i (dispatches are async — up to `depth` in flight) and (3) the main
+        thread unpacks cloud i-depth. Per-cloud latency is unchanged; the
+        per-cloud host prep and the device compute stop serializing, which
+        is the production serving pattern. Falls back to sequential
+        extract() off the hashed path.
+
+        Returns a list of InferenceResult in input order.
+        """
+        from collections import deque
+
+        from feat3dnet_tpu.data.datagenerator import prefetch
+
+        clouds = list(clouds)
+        if not (self._use_hashed() and self.mesh is None):
+            return [self.extract(c, rng=rng) for c in clouds]
+
+        icfg = self.icfg
+
+        def prep(cloud):
+            if rng is not None:
+                cloud = cloud[rng.permutation(cloud.shape[0])]
+            if icfg.num_points > 0:
+                cloud = cloud[:icfg.num_points]
+            n = cloud.shape[0]
+            n_bucket = bucket_for(n)
+            padded = np.zeros((1, n_bucket, 3), np.float32)
+            padded[0, :n] = cloud[:, :3]
+            valid = np.zeros((1, n_bucket), bool)
+            valid[0, :n] = True
+            packed, s_att, s_nms = self._host_sort_packed(padded, valid)
+            return n_bucket, (s_att, s_nms), packed
+
+        results = []
+        inflight: deque = deque()
+
+        def finish(item):
+            fn, dev = item
+            kp, feats, kp_att, num_kp = fn.unpack(np.asarray(dev))
+            return InferenceResult(keypoints=kp[:num_kp], features=feats[:num_kp],
+                                   attention=kp_att[:num_kp], num_keypoints=num_kp)
+
+        for n_bucket, csr_sizes, packed in prefetch(
+                (prep(c) for c in clouds), depth=depth):
+            fn = self._extract_fn(n_bucket, csr_sizes)
+            dev = fn.impl(self.variables, jnp.asarray(packed))   # async
+            inflight.append((fn, dev))
+            if len(inflight) > depth:
+                results.append(finish(inflight.popleft()))
+        while inflight:
+            results.append(finish(inflight.popleft()))
+        return results
 
     def process_directory(self, data_dir: str, output_dir: str,
                           data_dim: int = 6,

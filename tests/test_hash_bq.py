@@ -256,3 +256,28 @@ def test_csr_matches_dense_grid(rng):
     bm_c = ball_max_csr(pts4, vals, jnp.asarray(tof2), jnp.asarray(bof2),
                         0.8, block_size=L, tile=tc)
     np.testing.assert_array_equal(np.asarray(bm_c), np.asarray(bm_d))
+
+
+def test_extract_many_matches_sequential(rng):
+    """Pipelined extract_many must produce exactly the per-cloud extract()
+    results, in input order."""
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 3)), training=False)
+    pipe = InferencePipeline(model, v, cfg, InferenceConfig(
+        use_hashed_grouping=True, keypoint_chunk=256, max_keypoints=32,
+        nms_radius=1.0))
+    clouds = [_clouds(rng, 300 + 100 * i, spread=15.0, clusters=3)
+              for i in range(4)]
+    batched = pipe.extract_many(clouds)
+    for c, rb in zip(clouds, batched):
+        rs = pipe.extract(c)
+        assert rb.num_keypoints == rs.num_keypoints
+        np.testing.assert_array_equal(rb.keypoints, rs.keypoints)
+        np.testing.assert_array_equal(rb.features, rs.features)
