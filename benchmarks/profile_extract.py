@@ -133,7 +133,7 @@ def main():
 
         att_s = core(pipe.variables, pts4, bbox)[0]
         if s_nms:
-            o = nb * 5 + 2 * s_att
+            o = pipe.packed_offsets(nb, s_att)[2]
             t_nms = jnp.asarray(packed[o:o + s_nms].astype(np.int32))
             b_nms = jnp.asarray(packed[o + s_nms:o + 2 * s_nms].astype(np.int32))
             bm = jax.jit(lambda p, a, ti, bi: ball_max_csr(

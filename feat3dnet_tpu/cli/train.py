@@ -189,9 +189,14 @@ def main(argv=None):
             state, metrics = step_fn(state, batch)
             step += 1
             if step % args.summary_every_n_steps == 0:
-                loss = float(metrics["loss"])
+                # ONE batched fetch (device_get starts async copies for all
+                # leaves first) — per-leaf np.asarray in the writer would
+                # pay a ~40 ms tunnel round-trip per metric leaf
+                host_metrics = jax.device_get(metrics)
+                loss = float(host_metrics["loss"])
                 writer.write(step=step, loss=loss,
-                             **{k: v for k, v in metrics.items() if k != "loss"})
+                             **{k: v for k, v in host_metrics.items()
+                                if k != "loss"})
                 print(f"\rStep {step}, Loss: {loss:.5f}", end="", flush=True)
             if step % args.checkpoint_every_n_steps == 0:
                 ckpt.save(state)

@@ -192,6 +192,13 @@ class InferencePipeline:
                         # power-of-two multiples of 256, so np_ == n_bucket)
     _HASH_TILE = 128    # center-tile rows per kernel step
 
+    @staticmethod
+    def packed_offsets(nb: int, s_att: int):
+        """Offsets into the packed upload buffer (single source of truth
+        for the [pts4 | inv_perm | att CSR | nms CSR] layout): returns
+        (inv_perm_off, att_csr_off, nms_csr_off)."""
+        return nb * 4, nb * 5, nb * 5 + 2 * s_att
+
     def _host_sort_packed(self, padded_np: np.ndarray, valid_np: np.ndarray):
         """One flat f32 upload buffer:
         [pts4 | inv_perm | att CSR (tile_of, blk_of) | nms CSR].
@@ -272,15 +279,13 @@ class InferencePipeline:
 
             @jax.jit
             def impl(variables, packed):
-                o = nb * 4
-                pts4 = packed[:o].reshape(nb, 4)
-                inv_perm = packed[o:o + nb].astype(jnp.int32)
-                o += nb
-                t_att = packed[o:o + s_att].astype(jnp.int32)
-                b_att = packed[o + s_att:o + 2 * s_att].astype(jnp.int32)
-                o += 2 * s_att
-                t_nms = packed[o:o + s_nms].astype(jnp.int32)
-                b_nms = packed[o + s_nms:o + 2 * s_nms].astype(jnp.int32)
+                o_inv, o_att, o_nms = InferencePipeline.packed_offsets(nb, s_att)
+                pts4 = packed[:o_inv].reshape(nb, 4)
+                inv_perm = packed[o_inv:o_inv + nb].astype(jnp.int32)
+                t_att = packed[o_att:o_att + s_att].astype(jnp.int32)
+                b_att = packed[o_att + s_att:o_att + 2 * s_att].astype(jnp.int32)
+                t_nms = packed[o_nms:o_nms + s_nms].astype(jnp.int32)
+                b_nms = packed[o_nms + s_nms:o_nms + 2 * s_nms].astype(jnp.int32)
                 cloud = pts4[inv_perm, :3][None]          # original order;
                 valid_mask = (cloud[..., 0] < 5.0e8)      # invalid -> +1e9
                 centers_sorted = pts4[:, :3]
@@ -374,6 +379,23 @@ class InferencePipeline:
 
     # -- public API -------------------------------------------------------
 
+    def _pad_to_bucket(self, cloud: np.ndarray,
+                       rng: Optional[np.random.RandomState]):
+        """Shared preprocessing for extract()/extract_many(): optional
+        permutation + truncation, then pad to the static bucket with a
+        validity mask. Returns (n, n_bucket, padded (1, nb, 3), valid)."""
+        if rng is not None:
+            cloud = cloud[rng.permutation(cloud.shape[0])]
+        if self.icfg.num_points > 0:
+            cloud = cloud[:self.icfg.num_points]
+        n = cloud.shape[0]
+        n_bucket = bucket_for(n)
+        padded = np.zeros((1, n_bucket, 3), np.float32)
+        padded[0, :n] = cloud[:, :3]
+        valid = np.zeros((1, n_bucket), bool)
+        valid[0, :n] = True
+        return n, n_bucket, padded, valid
+
     def extract(self, cloud: np.ndarray,
                 keypoints: Optional[np.ndarray] = None,
                 rng: Optional[np.random.RandomState] = None) -> InferenceResult:
@@ -389,17 +411,7 @@ class InferencePipeline:
             point-order dependent, inference.py:105-111).
         """
         icfg = self.icfg
-        if rng is not None:
-            cloud = cloud[rng.permutation(cloud.shape[0])]
-        if icfg.num_points > 0:
-            cloud = cloud[:icfg.num_points]
-
-        n = cloud.shape[0]
-        n_bucket = bucket_for(n)
-        padded = np.zeros((1, n_bucket, 3), np.float32)
-        padded[0, :n] = cloud[:, :3]
-        valid = np.zeros((1, n_bucket), bool)
-        valid[0, :n] = True
+        n, n_bucket, padded, valid = self._pad_to_bucket(cloud, rng)
 
         if keypoints is None and self.mesh is None:
             # fused one-dispatch path: ONE upload + ONE download per cloud
@@ -468,19 +480,8 @@ class InferencePipeline:
         if not (self._use_hashed() and self.mesh is None):
             return [self.extract(c, rng=rng) for c in clouds]
 
-        icfg = self.icfg
-
         def prep(cloud):
-            if rng is not None:
-                cloud = cloud[rng.permutation(cloud.shape[0])]
-            if icfg.num_points > 0:
-                cloud = cloud[:icfg.num_points]
-            n = cloud.shape[0]
-            n_bucket = bucket_for(n)
-            padded = np.zeros((1, n_bucket, 3), np.float32)
-            padded[0, :n] = cloud[:, :3]
-            valid = np.zeros((1, n_bucket), bool)
-            valid[0, :n] = True
+            _, n_bucket, padded, valid = self._pad_to_bucket(cloud, rng)
             packed, s_att, s_nms = self._host_sort_packed(padded, valid)
             return n_bucket, (s_att, s_nms), packed
 

@@ -46,6 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _FAR = 1.0e9          # coordinate sentinel for invalid points
+# invalid-CENTER sentinel: must differ from the invalid-POINT sentinel, or
+# a masked center sits at distance 0 from every pad/invalid point and its
+# ball "fills" with them (1e9 apart -> d2 = 1e18, never inside any radius)
+_FAR_CENTER = 2.0e9
 # empty-slot key sentinel: finite (inf would make the one-hot placement
 # matmuls produce inf*0 = nan), far above any original index (< 2^24)
 _BIG = 1.0e30
@@ -99,11 +103,14 @@ def build_sorted_cloud(xyz: Array, valid_mask: Optional[Array] = None,
     np_ = n + pad
     # within-block re-sort by ORIGINAL index so in-block candidate order is
     # original-index order (padded tail slots index point 0 but are pushed
-    # last within their block by the +n offset and masked via coords below)
+    # last within their block by the +n offset and masked via coords below).
+    # lexsort instead of a blk*2np_+idx combined key: the combined key
+    # overflows int32 past ~524k points (x64 is disabled, so the int64 the
+    # numpy mirror uses silently truncates here).
     blk = jnp.arange(np_, dtype=jnp.int32) // L
     pad_flag = jnp.arange(np_, dtype=jnp.int32) >= n
-    key2 = blk * jnp.int32(2 * np_) + order1 + jnp.where(pad_flag, jnp.int32(np_), 0)
-    order2 = jnp.argsort(key2, stable=True).astype(jnp.int32)
+    sub = order1 + jnp.where(pad_flag, jnp.int32(np_), 0)
+    order2 = jnp.lexsort((sub, blk)).astype(jnp.int32)
     final_orig = order1[order2]                                   # (Np,)
     sorted_pts = pts[final_orig]                                  # (Np, 3)
     sorted_pts = jnp.where(pad_flag[order2][:, None], _FAR, sorted_pts)
@@ -354,7 +361,13 @@ def _bq_sorted_raw(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                    radius: float, nsample: int, tile: int = 128,
                    interpret: Optional[bool] = None):
     """Kernel driver: centers (M, 3) (spatially ordered) -> raw merge buffer
-    (M, ns, 4) [xyz | orig-or-inf] and uncapped counts (M,)."""
+    (M, ns, 4) [xyz | orig-or-inf] and counts (M,).
+
+    Counts are capped-EQUIVALENT, not true totals: the whole-block skip
+    stops accumulating once every center in a tile is saturated, so the
+    value is exact below ns and a lower bound >= ns above it. Consumers
+    must clamp with min(cnt, ns) (reference pts_cnt semantics) — which
+    _finish_grouped does."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m = centers.shape[0]
@@ -363,7 +376,7 @@ def _bq_sorted_raw(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
     tc = tile
     pad = -m % tc
     centers_p = jnp.pad(centers.astype(jnp.float32), ((0, pad), (0, 0)),
-                        constant_values=_FAR)
+                        constant_values=_FAR_CENTER)
     mp = m + pad
     ctr4 = jnp.concatenate(
         [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
@@ -456,7 +469,7 @@ def sort_centers(centers: Array, valid: Optional[Array] = None,
     """Spatially order arbitrary centers; returns (sorted_centers, order)."""
     c = centers.astype(jnp.float32)
     if valid is not None:
-        c = jnp.where(valid[:, None], c, _FAR)
+        c = jnp.where(valid[:, None], c, _FAR_CENTER)
     cell = jnp.clip((c - jnp.min(c, axis=0)) / cell_size, 0, 1023).astype(jnp.int32)
     order = jnp.argsort(_morton30(cell), stable=True).astype(jnp.int32)
     return c[order], order
@@ -482,22 +495,28 @@ def _ballmax_kernel(hit_ref, ctr_ref, pts_ref, max_ref, *,
 
     @pl.when(hit)
     def _process():
-        pts = pts_ref[...]                                   # (L, 4)
-        # exact whole-block skip: the block cannot raise any center's
-        # running max unless its value maximum beats the tile's lowest max
-        vals = pts[:, 3:4].reshape(1, L)
-        blkmax = jnp.max(vals)
+        _ballmax_block(ctr_ref, pts_ref, max_ref, r2=r2, tc=tc, L=L)
 
-        @pl.when(blkmax > jnp.min(max_ref[...]))
-        def _scan_block():
-            ctr = ctr_ref[...]                               # (TC, 4)
-            d2 = jnp.zeros((tc, L), jnp.float32)
-            for d in range(3):
-                dd = ctr[:, d:d + 1] - pts[:, d:d + 1].reshape(1, L)
-                d2 = d2 + dd * dd
-            neigh = jnp.where(d2 < r2, vals, -_BIG)
-            max_ref[...] = jnp.maximum(max_ref[...],
-                                       jnp.max(neigh, axis=1, keepdims=True))
+
+def _ballmax_block(ctr_ref, pts_ref, max_ref, *, r2: float, tc: int, L: int):
+    """One (center-tile × point-block) step of the running ball max,
+    shared by the dense-grid and CSR kernels (identical outputs)."""
+    pts = pts_ref[...]                                       # (L, 4)
+    # exact whole-block skip: the block cannot raise any center's
+    # running max unless its value maximum beats the tile's lowest max
+    vals = pts[:, 3:4].reshape(1, L)
+    blkmax = jnp.max(vals)
+
+    @pl.when(blkmax > jnp.min(max_ref[...]))
+    def _scan_block():
+        ctr = ctr_ref[...]                                   # (TC, 4)
+        d2 = jnp.zeros((tc, L), jnp.float32)
+        for d in range(3):
+            dd = ctr[:, d:d + 1] - pts[:, d:d + 1].reshape(1, L)
+            d2 = d2 + dd * dd
+        neigh = jnp.where(d2 < r2, vals, -_BIG)
+        max_ref[...] = jnp.maximum(max_ref[...],
+                                   jnp.max(neigh, axis=1, keepdims=True))
 
 
 @partial(jax.jit, static_argnames=("radius", "tile", "interpret"))
@@ -529,7 +548,7 @@ def ball_max_sorted(sc_pts4: Array, sc_blk_bbox: Array, values: Array,
     tc = tile
     pad = -np_ % tc
     centers_p = jnp.pad(sc_pts4[:, :3], ((0, pad), (0, 0)),
-                        constant_values=_FAR)
+                        constant_values=_FAR_CENTER)
     mp = np_ + pad
     ctr4 = jnp.concatenate(
         [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
@@ -604,7 +623,9 @@ def hashed_ball_query(
         if vm is not None:
             d2 = jnp.where(vm[None, :], d2, jnp.inf)
         nearest = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        return jnp.where((cnt == 0)[:, None], nearest[:, None], idx)
+        # gate on cv so masked centers keep stable (zero) rows regardless
+        # of whether unrelated valid centers triggered the fallback pass
+        return jnp.where(((cnt == 0) & cv)[:, None], nearest[:, None], idx)
 
     idx = jax.lax.cond(need, with_fallback, lambda i: i, idx)
     return idx[None], cnt[None]
@@ -690,7 +711,7 @@ def _bq_csr_raw(sc_pts4: Array, centers: Array, tile_of: Array, blk_of: Array,
     tc = tile
     pad = -m % tc
     centers_p = jnp.pad(centers.astype(jnp.float32), ((0, pad), (0, 0)),
-                        constant_values=_FAR)
+                        constant_values=_FAR_CENTER)
     mp = m + pad
     ctr4 = jnp.concatenate(
         [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
@@ -758,20 +779,7 @@ def _ballmax_csr_kernel(tile_of, blk_of, ctr_ref, pts_ref, max_ref,
     def _init():
         max_ref[...] = jnp.full((tc, 1), -_BIG, jnp.float32)
 
-    pts = pts_ref[...]                                       # (L, 4)
-    vals = pts[:, 3:4].reshape(1, L)
-    blkmax = jnp.max(vals)
-
-    @pl.when(blkmax > jnp.min(max_ref[...]))
-    def _scan_block():
-        ctr = ctr_ref[...]                                   # (TC, 4)
-        d2 = jnp.zeros((tc, L), jnp.float32)
-        for d in range(3):
-            dd = ctr[:, d:d + 1] - pts[:, d:d + 1].reshape(1, L)
-            d2 = d2 + dd * dd
-        neigh = jnp.where(d2 < r2, vals, -_BIG)
-        max_ref[...] = jnp.maximum(max_ref[...],
-                                   jnp.max(neigh, axis=1, keepdims=True))
+    _ballmax_block(ctr_ref, pts_ref, max_ref, r2=r2, tc=tc, L=L)
 
 
 @partial(jax.jit, static_argnames=("radius", "block_size", "tile",
@@ -788,7 +796,7 @@ def ball_max_csr(sc_pts4: Array, values: Array, tile_of: Array,
     tc = tile
     pad = -np_ % tc
     centers_p = jnp.pad(sc_pts4[:, :3], ((0, pad), (0, 0)),
-                        constant_values=_FAR)
+                        constant_values=_FAR_CENTER)
     mp = np_ + pad
     ctr4 = jnp.concatenate(
         [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)

@@ -281,3 +281,39 @@ def test_extract_many_matches_sequential(rng):
         assert rb.num_keypoints == rs.num_keypoints
         np.testing.assert_array_equal(rb.keypoints, rs.keypoints)
         np.testing.assert_array_equal(rb.features, rs.features)
+
+
+def test_center_valid_masking(rng):
+    """hashed_ball_query with a center_valid mask: valid rows must match
+    the dense op; masked rows must be stably zero (fallback gated on cv)."""
+    xyz = _clouds(rng, 400, spread=30.0)
+    centers = _clouds(rng, 64, spread=60.0)       # some empty balls
+    cv = rng.rand(64) > 0.3
+    idx_ref, cnt_ref = ball_query(jnp.asarray(xyz[None]),
+                                  jnp.asarray(centers[None]), 2.0, 8)
+    idx_h, cnt_h = hashed_ball_query(
+        jnp.asarray(xyz[None]), jnp.asarray(centers[None]), 2.0, 8,
+        center_valid=jnp.asarray(cv[None]), block_size=64, tile=16)
+    np.testing.assert_array_equal(np.asarray(idx_h)[0][cv],
+                                  np.asarray(idx_ref)[0][cv])
+    np.testing.assert_array_equal(np.asarray(cnt_h)[0][cv],
+                                  np.asarray(cnt_ref)[0][cv])
+    # masked centers: deterministic zero rows (cnt 0, idx 0)
+    assert np.all(np.asarray(cnt_h)[0][~cv] == 0)
+    assert np.all(np.asarray(idx_h)[0][~cv] == 0)
+
+
+def test_device_sort_large_no_overflow(rng):
+    """build_sorted_cloud must match the numpy mirror above the ~524k-point
+    int32 overflow threshold of the old combined within-block sort key
+    (device sort uses lexsort; layouts must stay bit-identical)."""
+    from feat3dnet_tpu.ops.hash_grid import (build_sorted_cloud,
+                                             build_sorted_cloud_host)
+
+    n = 600_000
+    xyz = (rng.rand(n, 3).astype(np.float32) - 0.5) * 200
+    sc_h = build_sorted_cloud_host(xyz, cell_size=4.0, block_size=256)
+    sc_d = build_sorted_cloud(jnp.asarray(xyz), cell_size=4.0, block_size=256)
+    np.testing.assert_array_equal(np.asarray(sc_d.orig_idx), sc_h.orig_idx)
+    np.testing.assert_array_equal(np.asarray(sc_d.pts4), sc_h.pts4)
+    np.testing.assert_array_equal(np.asarray(sc_d.inv_perm), sc_h.inv_perm)
