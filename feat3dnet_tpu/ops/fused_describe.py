@@ -70,22 +70,29 @@ def folded_weights(variables: Dict[str, Any], cfg: ModelConfig) -> List[Array]:
 
 
 def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
-            bf16_matmul: bool = False, vpu_k3: bool = False):
+            bf16_matmul: bool = False, vpu_k3: bool = False,
+            bf16_act: bool = False):
     weights = refs[:-2]
     desc_ref, att_ref = refs[-2], refs[-1]
     widx = 0
+    # bf16_act: keep tower ACTIVATIONS (relu outputs, pools, masks) in
+    # bf16 — halves VPU lane work and VMEM traffic vs bf16_matmul alone,
+    # which only narrows the matmul inputs. Heads, normalization, and all
+    # exactness-sensitive selection logic stay f32. Approximate (descriptor
+    # cosine vs f32 measured in tests) — off by default.
+    act_t = jnp.bfloat16 if bf16_act else jnp.float32
 
     def next_w():
         nonlocal widx
         k, b = weights[widx][...], weights[widx + 1][...]
         widx += 2
-        if bf16_matmul:
+        if bf16_matmul or bf16_act:
             k = k.astype(jnp.bfloat16)
         return k, b
 
     def mm(a, k):
         # matmul with optional bf16 inputs, always f32 accumulate
-        if bf16_matmul:
+        if bf16_matmul or bf16_act:
             a = a.astype(jnp.bfloat16)
         return jnp.dot(a, k, preferred_element_type=jnp.float32)
 
@@ -137,13 +144,14 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
     for _ in range(len(cfg.detector_mlp)):
         k, b = next_w()
         op = mm_k3 if h.shape[1] == 3 else mm
-        h = jnp.maximum(op(h, k) + b, 0.0)
+        h = jnp.maximum(op(h, k) + b, 0.0).astype(act_t)
     # masked slot pool: ReLU outputs are >= 0 and every ball has >= 1
     # member, so zeroing masked slots is exact
-    h = jnp.max(h.reshape(tc, ns, -1) * mask[:, :, None], axis=1)  # (TC, 256)
+    h = jnp.max(h.reshape(tc, ns, -1) * mask[:, :, None].astype(act_t),
+                axis=1)  # (TC, 256)
     for _ in range(len(cfg.detector_mlp2)):
         k, b = next_w()
-        h = jnp.maximum(mm(h, k) + b, 0.0)
+        h = jnp.maximum(mm(h, k) + b, 0.0).astype(act_t)
     ka, ba = next_w()
     att = jax.nn.softplus(mm(h, ka) + ba)  # (TC, 1)
     ko, bo = next_w()
@@ -161,17 +169,18 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
     for _ in range(len(cfg.descriptor_mlp)):
         k, b = next_w()
         op = mm_k3 if d.shape[1] == 3 else mm
-        d = jnp.maximum(op(d, k) + b, 0.0)
+        d = jnp.maximum(op(d, k) + b, 0.0).astype(act_t)
     c_pts = d.reshape(tc, ns, -1)
-    pooled = jnp.max(c_pts * mask[:, :, None], axis=1, keepdims=True)
+    pooled = jnp.max(c_pts * mask[:, :, None].astype(act_t), axis=1,
+                     keepdims=True)
     cat = jnp.concatenate(
         [c_pts, jnp.broadcast_to(pooled, c_pts.shape)], axis=-1)    # (TC, ns, 2C)
     k, b = next_w()                                           # conv_mid_0: BN, NO relu
     m = mm(cat.reshape(tc * ns, -1), k) + b
     # conv_mid_0 has no ReLU, so masked slots are excluded with -inf-like
     # sentinels rather than zeros
-    m = m.reshape(tc, ns, -1)
-    m = jnp.where(mask[:, :, None] > 0.5, m, -1.0e30)
+    m = m.reshape(tc, ns, -1).astype(act_t)
+    m = jnp.where(mask[:, :, None] > 0.5, m, act_t(-1.0e30))
     m = jnp.max(m, axis=1)                                    # (TC, 128)
     k, b = next_w()                                           # conv_post_0: BN, NO relu
     out = mm(m, k) + b                                        # (TC, D)
@@ -182,10 +191,11 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
 
 
 @partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul", "vpu_k3",
-                                   "interpret"))
+                                   "bf16_act", "interpret"))
 def fused_describe_clusters(weights: List[Array], clusters: Array,
                             cfg: ModelConfig, tile: int = 64,
                             bf16_matmul: bool = False, vpu_k3: bool = False,
+                            bf16_act: bool = False,
                             interpret: Optional[bool] = None
                             ) -> Tuple[Array, Array]:
     """(B, nsample, 3) origin-centered clusters -> (descriptors (B, D),
@@ -205,7 +215,7 @@ def fused_describe_clusters(weights: List[Array], clusters: Array,
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
     desc, att = pl.pallas_call(
         partial(_kernel, cfg=cfg, tc=tile, ns=ns, bf16_matmul=bf16_matmul,
-                vpu_k3=vpu_k3),
+                vpu_k3=vpu_k3, bf16_act=bf16_act),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile, ns, 3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] + w_specs,
