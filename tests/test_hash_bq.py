@@ -317,3 +317,28 @@ def test_device_sort_large_no_overflow(rng):
     np.testing.assert_array_equal(np.asarray(sc_d.orig_idx), sc_h.orig_idx)
     np.testing.assert_array_equal(np.asarray(sc_d.pts4), sc_h.pts4)
     np.testing.assert_array_equal(np.asarray(sc_d.inv_perm), sc_h.inv_perm)
+
+
+def test_extract_many_mixed_buckets(rng):
+    """extract_many across clouds that land in DIFFERENT size buckets must
+    still match per-cloud extract (one executable per bucket)."""
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig, bucket_for
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8,), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 3)), training=False)
+    pipe = InferencePipeline(model, v, cfg, InferenceConfig(
+        use_hashed_grouping=True, keypoint_chunk=512, max_keypoints=16,
+        nms_radius=1.0))
+    sizes = (3000, 5000)          # buckets 4096 and 8192
+    assert len({bucket_for(s) for s in sizes}) == 2
+    clouds = [_clouds(rng, s, spread=25.0, clusters=4) for s in sizes]
+    batched = pipe.extract_many(clouds)
+    for c, rb in zip(clouds, batched):
+        rs = pipe.extract(c)
+        assert rb.num_keypoints == rs.num_keypoints
+        np.testing.assert_array_equal(rb.keypoints, rs.keypoints)
