@@ -342,3 +342,36 @@ def test_extract_many_mixed_buckets(rng):
         rs = pipe.extract(c)
         assert rb.num_keypoints == rs.num_keypoints
         np.testing.assert_array_equal(rb.keypoints, rs.keypoints)
+
+
+def test_extract_degenerate_clouds(rng):
+    """Hashed extract on adversarial inputs: tiny cloud in a huge bucket,
+    exact duplicate points, collinear geometry — must return finite
+    descriptors and valid keypoint counts, matching the dense path."""
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8,), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 3)), training=False)
+    common = dict(keypoint_chunk=512, max_keypoints=16, nms_radius=1.0)
+    pipe_h = InferencePipeline(model, v, cfg, InferenceConfig(
+        use_hashed_grouping=True, **common))
+    pipe_x = InferencePipeline(model, v, cfg, InferenceConfig(
+        use_hashed_grouping=False, **common))
+
+    tiny = rng.randn(10, 3).astype(np.float32)
+    dupes = np.repeat(rng.randn(50, 3).astype(np.float32), 4, axis=0)
+    line = np.stack([np.linspace(0, 30, 200)] * 3, axis=1).astype(np.float32)
+    for name, cloud in (("tiny", tiny), ("dupes", dupes), ("collinear", line)):
+        rh = pipe_h.extract(cloud)
+        rx = pipe_x.extract(cloud)
+        assert rh.num_keypoints == rx.num_keypoints, name
+        assert rh.num_keypoints >= 1, name
+        assert np.isfinite(rh.features).all(), name
+        np.testing.assert_array_equal(rh.keypoints, rx.keypoints, err_msg=name)
+        np.testing.assert_allclose(rh.features, rx.features, rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
