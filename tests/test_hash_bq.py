@@ -375,3 +375,26 @@ def test_extract_degenerate_clouds(rng):
         np.testing.assert_array_equal(rh.keypoints, rx.keypoints, err_msg=name)
         np.testing.assert_allclose(rh.features, rx.features, rtol=1e-4,
                                    atol=1e-5, err_msg=name)
+
+
+def test_transposed_merge_matches_original(rng):
+    """The r3 transposed merge (MXU candidate routing + free-slot-rank
+    buffer shifts) must reproduce the original merge's RAW buffers exactly
+    — same selected coords/keys, same counts, sentinels included."""
+    from feat3dnet_tpu.ops.hash_grid import (_bq_sorted_raw, _bq_sorted_raw_t,
+                                             sort_centers)
+
+    n = 600
+    xyz = (rng.rand(n, 3).astype(np.float32) - 0.5) * 12
+    xyz[:200] = xyz[:1] + rng.randn(200, 3).astype(np.float32) * 0.5
+    valid = rng.rand(n) > 0.15
+    sc = build_sorted_cloud(jnp.asarray(xyz), jnp.asarray(valid),
+                            cell_size=1.5, block_size=64)
+    ctr, _ = sort_centers(jnp.asarray(xyz[:160]))
+    for ns in (8, 16):
+        t0, c0 = _bq_sorted_raw(sc.pts4, sc.blk_bbox, ctr, 1.5, ns,
+                                tile=32, interpret=True)
+        t1, c1 = _bq_sorted_raw_t(sc.pts4, sc.blk_bbox, ctr, 1.5, ns,
+                                  tile=32, interpret=True)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
