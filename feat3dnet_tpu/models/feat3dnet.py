@@ -82,7 +82,19 @@ def _group_normalized(
 
     Returns (grouped (B,M,ns,3), idx (B,M,ns), cnt (B,M)).
     """
-    idx, cnt = ball_query(xyz, centers, radius, nsample, valid_mask=valid_mask)
+    from feat3dnet_tpu.ops.batch_group import (ball_query_fused,
+                                               use_fused_ball_query)
+
+    if use_fused_ball_query(xyz, centers, radius, nsample, valid_mask):
+        # training-shape fast path: the fused VMEM kernel replaces the XLA
+        # counting formulation's HBM-materialized (B·M, N, ns) broadcast
+        # (~12.7 ms -> ~2 ms of the train step); index-exact vs ball_query
+        # (tests/test_batch_group.py), differentiable grads preserved via
+        # the group_points gather below
+        idx, cnt = ball_query_fused(xyz, centers, float(radius), nsample)
+    else:
+        idx, cnt = ball_query(xyz, centers, radius, nsample,
+                              valid_mask=valid_mask)
     grouped = group_points(xyz, idx)                      # (B, M, ns, 3)
     grouped = grouped - centers[:, :, None, :]
     grouped = grouped / radius
