@@ -69,9 +69,148 @@ def folded_weights(variables: Dict[str, Any], cfg: ModelConfig) -> List[Array]:
     return [jnp.asarray(w, jnp.float32) for w in out]
 
 
+# ---------------------------------------------------------------------------
+# Lane packing: the tower's K=3 input layers and K=32/64 mid layers leave
+# most of the MXU's 128 contraction lanes idle (BENCHMARKS.md roofline —
+# pass count, not FLOPs, binds this kernel). Packing p clusters per pass
+# multiplies K and C by p while dividing rows by p, filling the lanes.
+#
+# Layout transforms use 2-D concats only, in HALVING/DOUBLING steps:
+#   pack step    (R, C) -> (R/2, 2C): lane-concat of the two row halves —
+#     always Mosaic-legal (lane offsets may differ ON the concat dim);
+#   unpack step  (R, 2C) -> (2R, C): row-concat of the two column halves —
+#     Mosaic-legal ONLY when C % 128 == 0 (a non-128-aligned column slice
+#     carries a lane offset, and tpu.concatenate rejects offset mismatches
+#     on non-concat dimensions — observed on the real chip; interpret mode
+#     accepts it).
+# pack∘unpack is the identity, each step inverts the previous, and every
+# row-range stays cluster-major/slot-minor (splits land on cluster
+# boundaries), so per-point MLP layers run packed against block-diagonal
+# weights (kron(I_p, W) — zero blocks add exact +0.0, keeping results
+# bit-equal) and pools see the original cluster order after unpacking.
+# When the final unpack of a tower is NOT alignment-legal (descriptor
+# tower: C=64 blocks), the tower ends at p=2 and the masked pool + concat
+# run in the packed-2 layout, where the concatenated [pointwise|pooled]
+# blocks are 128 wide and the last unpack becomes legal (see _kernel).
+# Plan: per layer, the p ∈ {1,2,4,8} minimizing 128×128 MXU tile passes
+# among alignment-reachable transitions (ties prefer the previous p).
+# ---------------------------------------------------------------------------
+
+
+def _mxu_passes(rows: int, k: int, c: int, p: int) -> int:
+    if rows % p:
+        return 1 << 30
+    return (-(-rows // p // 128)) * (-(-p * k // 128)) * (-(-p * c // 128))
+
+
+def _can_transition(p_from: int, p_to: int, c_from: int) -> bool:
+    """Alignment feasibility of relayout between layers (width p_from·c_from
+    down-steps must keep 128-aligned halves); packing up is always legal."""
+    if p_to >= p_from:
+        return True
+    width = p_from * c_from
+    while p_from > p_to:
+        width //= 2
+        p_from //= 2
+        if width % 128:
+            return False
+    return True
+
+
+def _plan_packs(rows: int, dims, tail_ps=(1,)) -> tuple:
+    """dims: sequence of (K, C) per layer -> per-layer pack factors, chosen
+    to minimize MXU passes subject to alignment-legal transitions, ending
+    at a tail pack level in `tail_ps` (the kernel handles tail p=2 for the
+    descriptor tower). Returns (plan..., tail_p)."""
+    plan = []
+    prev, prev_c = 1, None
+    for k, c in dims:
+        cands = [p for p in (1, 2, 4, 8)
+                 if prev_c is None or _can_transition(prev, p, prev_c)]
+        best = min(cands, key=lambda p: (_mxu_passes(rows, k, c, p),
+                                         p != prev, p))
+        plan.append(best)
+        prev, prev_c = best, c
+    # final relayout: smallest tail level reachable with aligned unpacks
+    tail = prev
+    for p in sorted(tail_ps):
+        if _can_transition(prev, p, prev_c or 1):
+            tail = p
+            break
+    if tail not in tail_ps:     # no legal tail layout — don't pack at all
+        return (1,) * len(dims), 1
+    return tuple(plan), tail
+
+
+def _pack_step(x):
+    """(R, C) -> (R/2, 2C): lane-concat of the two row halves."""
+    h = x.shape[0] // 2
+    return jnp.concatenate([x[:h], x[h:]], axis=1)
+
+
+def _unpack_step(x):
+    """(R, 2C) -> (2R, C): row-concat of the two column halves. Caller
+    must ensure C % 128 == 0 (or full-width) for Mosaic."""
+    c = x.shape[1] // 2
+    return jnp.concatenate([x[:, :c], x[:, c:]], axis=0)
+
+
+def _relayout(x, p_from: int, p_to: int):
+    """Move between pack levels via halving/doubling steps."""
+    while p_from < p_to:
+        x = _pack_step(x)
+        p_from *= 2
+    while p_from > p_to:
+        x = _unpack_step(x)
+        p_from //= 2
+    return x
+
+
+def _mlp_dims(cfg: ModelConfig):
+    """(K, C) chains for the two packed towers (detector, descriptor)."""
+    det, desc = [], []
+    k = 3
+    for c in cfg.detector_mlp:
+        det.append((k, c))
+        k = c
+    k = 3
+    for c in cfg.descriptor_mlp:
+        desc.append((k, c))
+        k = c
+    return tuple(det), tuple(desc)
+
+
+def pack_weights_for_plan(weights: List[Array], cfg: ModelConfig,
+                          det_plan: tuple, desc_plan: tuple) -> List[Array]:
+    """Block-diagonalize the per-point tower weights per the pack plan.
+
+    Walks the folded_weights() list layout (detector convs | detector post
+    convs | attention | orientation | descriptor convs | conv_mid_0 |
+    conv_post_0) and replaces each planned conv's (K, C) kernel with
+    kron(I_p, K) and its bias with tile(b, p). Exact: the zero off-blocks
+    add exact zeros in the f32 accumulator.
+    """
+    out = list(weights)
+
+    def pack_at(i, p):
+        if p > 1:
+            k, b = out[2 * i], out[2 * i + 1]
+            out[2 * i] = jnp.kron(jnp.eye(p, dtype=k.dtype), k)
+            out[2 * i + 1] = jnp.tile(b, p)
+
+    for li, p in enumerate(det_plan):
+        pack_at(li, p)
+    desc_base = (len(cfg.detector_mlp) + len(cfg.detector_mlp2) + 2)
+    for li, p in enumerate(desc_plan):
+        pack_at(desc_base + li, p)
+    return out
+
+
 def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
             bf16_matmul: bool = False, vpu_k3: bool = False,
-            bf16_act: bool = False):
+            bf16_act: bool = False,
+            det_plan: tuple = None, desc_plan: tuple = None,
+            desc_tail: int = 1):
     weights = refs[:-2]
     desc_ref, att_ref = refs[-2], refs[-1]
     widx = 0
@@ -139,12 +278,22 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
     grouped = pts * inv_r                                     # (TC, ns, 3)
     flat = grouped.reshape(tc * ns, 3)
 
+    def run_packed_mlp(h, plan, tail):
+        """Per-point MLP chain with lane packing (weights pre-blocked by
+        pack_weights_for_plan). Returns the activation relayouted to pack
+        level `tail` (tail=1: flat (R, C), original cluster order)."""
+        p_prev = 1
+        for p in plan:
+            if p != p_prev:
+                h = _relayout(h, p_prev, p)
+            k, b = next_w()
+            op = mm_k3 if (p == 1 and h.shape[1] == 3) else mm
+            h = jnp.maximum(op(h, k) + b, 0.0).astype(act_t)
+            p_prev = p
+        return _relayout(h, p_prev, tail)
+
     # ---- detector tower --------------------------------------------------
-    h = flat
-    for _ in range(len(cfg.detector_mlp)):
-        k, b = next_w()
-        op = mm_k3 if h.shape[1] == 3 else mm
-        h = jnp.maximum(op(h, k) + b, 0.0).astype(act_t)
+    h = run_packed_mlp(flat, det_plan, 1)
     # masked slot pool: ReLU outputs are >= 0 and every ball has >= 1
     # member, so zeroing masked slots is exact
     h = jnp.max(h.reshape(tc, ns, -1) * mask[:, :, None].astype(act_t),
@@ -165,18 +314,35 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
     yr = x * sin_t + y * cos_t
     rot = jnp.stack([xr, yr, z], axis=-1).reshape(tc * ns, 3)
 
-    d = rot
-    for _ in range(len(cfg.descriptor_mlp)):
-        k, b = next_w()
-        op = mm_k3 if d.shape[1] == 3 else mm
-        d = jnp.maximum(op(d, k) + b, 0.0).astype(act_t)
-    c_pts = d.reshape(tc, ns, -1)
-    pooled = jnp.max(c_pts * mask[:, :, None].astype(act_t), axis=1,
-                     keepdims=True)
-    cat = jnp.concatenate(
-        [c_pts, jnp.broadcast_to(pooled, c_pts.shape)], axis=-1)    # (TC, ns, 2C)
+    d = run_packed_mlp(rot, desc_plan, desc_tail)
+    if desc_tail == 1:
+        c_pts = d.reshape(tc, ns, -1)
+        pooled = jnp.max(c_pts * mask[:, :, None].astype(act_t), axis=1,
+                         keepdims=True)
+        cat = jnp.concatenate(
+            [c_pts, jnp.broadcast_to(pooled, c_pts.shape)], axis=-1)
+        cat_flat = cat.reshape(tc * ns, -1)                   # (R, 2C)
+    else:
+        # packed-2 tail (the 64-wide final unpack is not Mosaic-legal):
+        # masked pool + [pointwise|pooled] concat in the packed layout,
+        # where each cluster's cat block is 2C=128 wide — so the LAST
+        # unpack step is alignment-legal and restores the flat order.
+        assert desc_tail == 2
+        cw = d.shape[1] // 2                                  # = C
+        mask_flat = jnp.broadcast_to(
+            mask[:, :, None], (tc, ns, cw)).reshape(tc * ns, cw)
+        mask_p2 = _pack_step(mask_flat).astype(act_t)         # (R/2, 2C)
+        pooled2 = jnp.max((d * mask_p2).reshape(tc // 2, ns, 2 * cw),
+                          axis=1)                             # (tc/2, 2C)
+        poolb = jnp.broadcast_to(
+            pooled2[:, None, :],
+            (tc // 2, ns, 2 * cw)).reshape(tc * ns // 2, 2 * cw)
+        cat_p2 = jnp.concatenate(
+            [d[:, :cw], poolb[:, :cw], d[:, cw:], poolb[:, cw:]],
+            axis=1)                                           # (R/2, 4C)
+        cat_flat = _unpack_step(cat_p2)                       # (R, 2C)
     k, b = next_w()                                           # conv_mid_0: BN, NO relu
-    m = mm(cat.reshape(tc * ns, -1), k) + b
+    m = mm(cat_flat, k) + b
     # conv_mid_0 has no ReLU, so masked slots are excluded with -inf-like
     # sentinels rather than zeros
     m = m.reshape(tc, ns, -1).astype(act_t)
@@ -191,16 +357,24 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
 
 
 @partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul", "vpu_k3",
-                                   "bf16_act", "interpret"))
+                                   "bf16_act", "lane_pack", "interpret"))
 def fused_describe_clusters(weights: List[Array], clusters: Array,
                             cfg: ModelConfig, tile: int = 64,
                             bf16_matmul: bool = False, vpu_k3: bool = False,
-                            bf16_act: bool = False,
+                            bf16_act: bool = False, lane_pack: bool = False,
                             interpret: Optional[bool] = None
                             ) -> Tuple[Array, Array]:
     """(B, nsample, 3) origin-centered clusters -> (descriptors (B, D),
     attention (B,)). weights from folded_weights().
 
+    lane_pack: run the per-point tower matmuls p clusters per MXU pass
+    (see the lane-packing block above) — bit-exact vs unpacked (verified
+    on-chip, maxdiff 0.0) and 25% fewer 128×128 tile passes, but MEASURED
+    SLOWER on the v5e (1.59–1.64 M vs 1.82 M desc/s across tile 64/128
+    and bf16_act — benchmarks/verify_r3_onchip.py r3): the kernel is
+    serialization/VPU-bound, not MXU-pass-bound, and the relayout copies
+    outweigh the pass savings. OFF by default; kept as the recorded
+    negative result (see BENCHMARKS.md roofline discussion).
     interpret: force Pallas interpret mode; default auto — interpreted on
     CPU backends (Mosaic only compiles for TPU), compiled on TPU.
     """
@@ -212,10 +386,25 @@ def fused_describe_clusters(weights: List[Array], clusters: Array,
     padded = jnp.pad(clusters.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
     n_tiles = padded.shape[0] // tile
 
+    det_dims, desc_dims = _mlp_dims(cfg)
+    if lane_pack:
+        det_plan, det_tail = _plan_packs(tile * ns, det_dims, tail_ps=(1,))
+        # the packed-2 descriptor tail needs a 2C-wide (=128-aligned) cat
+        desc_tails = (1, 2) if (2 * desc_dims[-1][1]) % 128 == 0 else (1,)
+        desc_plan, desc_tail = _plan_packs(tile * ns, desc_dims,
+                                           tail_ps=desc_tails)
+        assert det_tail == 1
+        weights = pack_weights_for_plan(weights, cfg, det_plan, desc_plan)
+    else:
+        det_plan = (1,) * len(det_dims)
+        desc_plan = (1,) * len(desc_dims)
+        desc_tail = 1
+
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
     desc, att = pl.pallas_call(
         partial(_kernel, cfg=cfg, tc=tile, ns=ns, bf16_matmul=bf16_matmul,
-                vpu_k3=vpu_k3, bf16_act=bf16_act),
+                vpu_k3=vpu_k3, bf16_act=bf16_act,
+                det_plan=det_plan, desc_plan=desc_plan, desc_tail=desc_tail),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile, ns, 3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] + w_specs,

@@ -93,6 +93,54 @@ def test_cluster_descriptor_server_fallback(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_lane_pack_bit_exact(rng):
+    """Lane packing (p clusters per MXU pass, block-diagonal weights) must
+    be BIT-exact vs the unpacked kernel: the kron zero blocks contribute
+    exact +0.0 to the f32 accumulator and the pack/unpack round trip is
+    the identity permutation. Paper-width tower so the plan actually packs
+    (det (2,2,1), desc (4,4))."""
+    cfg = ModelConfig()                       # full paper widths, ns=64
+    model = Feat3DNet(cfg)
+    clusters = rng.randn(16, cfg.num_samples, 3).astype(np.float32) * 1.5
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(clusters),
+                           training=False,
+                           keypoints=jnp.zeros((16, 1, 3), jnp.float32))
+    weights = folded_weights(variables, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        d0, a0 = fused_describe_clusters(weights, jnp.asarray(clusters), cfg,
+                                         tile=8, lane_pack=False)
+        d1, a1 = fused_describe_clusters(weights, jnp.asarray(clusters), cfg,
+                                         tile=8, lane_pack=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a0))
+
+
+def test_plan_packs_pass_counts():
+    """The pack planner must never pick a p with MORE 128×128 MXU passes
+    than unpacked, must fill the K=3 input layers, and every transition it
+    emits must be alignment-legal (Mosaic rejects row-concats of column
+    slices at non-128-aligned lane offsets — found on the real chip)."""
+    from feat3dnet_tpu.ops.fused_describe import (_can_transition, _mlp_dims,
+                                                  _mxu_passes, _plan_packs)
+
+    cfg = ModelConfig()
+    det_dims, desc_dims = _mlp_dims(cfg)
+    for dims, tail_ps in ((det_dims, (1,)), (desc_dims, (1, 2))):
+        plan, tail = _plan_packs(64 * 64, dims, tail_ps=tail_ps)
+        prev, prev_c = 1, None
+        for (k, c), p in zip(dims, plan):
+            assert _mxu_passes(64 * 64, k, c, p) <= _mxu_passes(64 * 64, k, c, 1)
+            assert prev_c is None or _can_transition(prev, p, prev_c)
+            prev, prev_c = p, c
+        assert _can_transition(prev, tail, prev_c)
+        assert tail in tail_ps
+        assert plan[0] > 1, "K=3 input layer should pack"
+    # tiny-width towers must fall back to no packing rather than emit an
+    # alignment-illegal tail
+    plan, tail = _plan_packs(8 * 8, ((3, 8), (8, 8)), tail_ps=(1, 2))
+    assert tail in (1, 2)
+
+
 def test_fused_bf16_matmul_close_to_f32(rng):
     cfg = ModelConfig(num_samples=16, feature_dim=32)
     model, variables, clusters, want = _setup(rng, cfg)
