@@ -97,6 +97,13 @@ class InferenceConfig:
     # None = auto: on for real TPU backends, off elsewhere (the kernel runs
     # interpreted off-TPU — correct but slow).
     use_hashed_grouping: Optional[bool] = None
+    # Morton-block layout parameters for the hashed kernels: points per
+    # culling block (and per merge step) / centers per kernel tile. Smaller
+    # blocks cull tighter (less per-step slack) but sequence more grid
+    # steps; 256/128 are the measured sweet spot at submap scale
+    # (benchmarks/sweep_merge.py).
+    hash_block: int = 256
+    hash_tile: int = 128
     # Kernel flavor inside the hashed extract: True = CSR (scalar-prefetch
     # hit lists, no skipped grid steps), False = dense grid with bit-packed
     # skip mask. Identical outputs; both index-exact. Measured A/B on the

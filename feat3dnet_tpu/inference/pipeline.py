@@ -188,9 +188,16 @@ class InferencePipeline:
                                      cell_size=float(self.mcfg.base_scale))
         return jnp.asarray(sc.pts4), jnp.asarray(sc.blk_bbox), jnp.asarray(sc.inv_perm)
 
-    _HASH_BLOCK = 256   # Morton block size for the hashed path (buckets are
-                        # power-of-two multiples of 256, so np_ == n_bucket)
-    _HASH_TILE = 128    # center-tile rows per kernel step
+    # Morton block / center-tile sizes for the hashed path come from
+    # InferenceConfig (hash_block divides every POINT_BUCKET, so the
+    # sorted layout size np_ == n_bucket).
+    @property
+    def _HASH_BLOCK(self) -> int:
+        return self.icfg.hash_block
+
+    @property
+    def _HASH_TILE(self) -> int:
+        return self.icfg.hash_tile
 
     @staticmethod
     def packed_offsets(nb: int, s_att: int):
@@ -218,8 +225,16 @@ class InferencePipeline:
         sc = build_sorted_cloud_host(padded_np[0, :, :3], valid_np[0],
                                      cell_size=float(self.mcfg.base_scale),
                                      block_size=self._HASH_BLOCK)
+        # indices ride the packed buffer as f32, exact only below 2^24;
+        # bucket_for() is unbounded, so fail loudly instead of silently
+        # corrupting the permutation on a >16.7M-point cloud
+        if padded_np.shape[1] >= (1 << 24):
+            raise ValueError(
+                f"packed f32 transfer supports < 2^24 points per cloud, got "
+                f"{padded_np.shape[1]}; split the cloud or extend the packed "
+                f"layout to int32 indices")
         base = [sc.pts4.ravel(),
-                sc.inv_perm.astype(np.float32)]  # exact for n_bucket < 2^24
+                sc.inv_perm.astype(np.float32)]
         if not self.icfg.use_csr_kernels:
             return np.concatenate(base), 0, 0
         centers = sc.pts4[:, :3]
@@ -362,6 +377,18 @@ class InferencePipeline:
         self._extract_fns[key] = fn
         return fn
 
+    def _mesh_extract_fn(self, n_bucket: int):
+        """End-to-end mesh-sharded extraction (parallel/point_parallel.py's
+        make_sharded_extract), cached per bucket."""
+        if not hasattr(self, "_mesh_extract_fns"):
+            self._mesh_extract_fns = {}
+        if n_bucket not in self._mesh_extract_fns:
+            from feat3dnet_tpu.parallel.point_parallel import make_sharded_extract
+
+            self._mesh_extract_fns[n_bucket] = make_sharded_extract(
+                self.model, self.mesh, self.mcfg, self.icfg, n_bucket)
+        return self._mesh_extract_fns[n_bucket]
+
     def _describe_fn(self, n_bucket: int, n_kp: int):
         """descriptors at (1, n_kp) keypoints of a padded cloud."""
         key = (n_bucket, n_kp)
@@ -413,6 +440,19 @@ class InferencePipeline:
         icfg = self.icfg
         n, n_bucket, padded, valid = self._pad_to_bucket(cloud, rng)
 
+        if keypoints is None and self.mesh is not None:
+            # mesh mode: END-TO-END sharded extraction on the Morton-sorted
+            # layout (grouping+detector, NMS ball-max, and descriptors all
+            # shard the center/keypoint axis — parallel/point_parallel.py)
+            pts4, blk_bbox, inv_perm = self._host_sort(padded, valid)
+            kp, feats, kp_att, num = jax.device_get(
+                self._mesh_extract_fn(n_bucket)(
+                    self.variables, pts4, blk_bbox, inv_perm))
+            num_kp = int(num)
+            return InferenceResult(
+                keypoints=kp[:num_kp], features=feats[:num_kp],
+                attention=kp_att[:num_kp], num_keypoints=num_kp)
+
         if keypoints is None and self.mesh is None:
             # fused one-dispatch path: ONE upload + ONE download per cloud
             # (each separate array transfer is its own ~40 ms tunnel RTT)
@@ -459,29 +499,36 @@ class InferencePipeline:
         )
 
     def extract_many(self, clouds, rng: Optional[np.random.RandomState] = None,
-                     depth: int = 2):
+                     depth: int = 2, prep_workers: int = 4):
         """Pipelined extraction over many clouds (throughput mode).
 
-        Three overlapping stages: (1) host Morton sort + packing for cloud
-        i+1 runs in a background thread while (2) the device computes cloud
-        i (dispatches are async — up to `depth` in flight) and (3) the main
-        thread unpacks cloud i-depth. Per-cloud latency is unchanged; the
+        Three overlapping stages: (1) host Morton sort + packing runs in a
+        `prep_workers`-thread pool (clouds are independent; the heavy numpy
+        sorts release the GIL) while (2) the device computes earlier clouds
+        (dispatches are async — up to `depth` in flight) and (3) the main
+        thread unpacks finished clouds. Per-cloud latency is unchanged; the
         per-cloud host prep and the device compute stop serializing, which
         is the production serving pattern. Falls back to sequential
         extract() off the hashed path.
 
+        Determinism: when `rng` is given, the point permutations are drawn
+        serially in input order BEFORE the parallel prep, so results equal
+        sequential extract() calls regardless of worker scheduling.
+
         Returns a list of InferenceResult in input order.
         """
         from collections import deque
-
-        from feat3dnet_tpu.data.datagenerator import prefetch
+        from concurrent.futures import ThreadPoolExecutor
 
         clouds = list(clouds)
         if not (self._use_hashed() and self.mesh is None):
             return [self.extract(c, rng=rng) for c in clouds]
 
+        if rng is not None:
+            clouds = [c[rng.permutation(c.shape[0])] for c in clouds]
+
         def prep(cloud):
-            _, n_bucket, padded, valid = self._pad_to_bucket(cloud, rng)
+            _, n_bucket, padded, valid = self._pad_to_bucket(cloud, None)
             packed, s_att, s_nms = self._host_sort_packed(padded, valid)
             return n_bucket, (s_att, s_nms), packed
 
@@ -494,15 +541,27 @@ class InferencePipeline:
             return InferenceResult(keypoints=kp[:num_kp], features=feats[:num_kp],
                                    attention=kp_att[:num_kp], num_keypoints=num_kp)
 
-        for n_bucket, csr_sizes, packed in prefetch(
-                (prep(c) for c in clouds), depth=depth):
-            fn = self._extract_fn(n_bucket, csr_sizes)
-            dev = fn.impl(self.variables, jnp.asarray(packed))   # async
-            inflight.append((fn, dev))
-            if len(inflight) > depth:
+        with ThreadPoolExecutor(max_workers=prep_workers) as pool:
+            it = iter(clouds)
+            futs: deque = deque()
+
+            def submit_next():
+                c = next(it, None)
+                if c is not None:
+                    futs.append(pool.submit(prep, c))
+
+            for _ in range(depth + prep_workers):
+                submit_next()
+            while futs:
+                n_bucket, csr_sizes, packed = futs.popleft().result()
+                submit_next()
+                fn = self._extract_fn(n_bucket, csr_sizes)
+                dev = fn.impl(self.variables, jnp.asarray(packed))   # async
+                inflight.append((fn, dev))
+                if len(inflight) >= depth:
+                    results.append(finish(inflight.popleft()))
+            while inflight:
                 results.append(finish(inflight.popleft()))
-        while inflight:
-            results.append(finish(inflight.popleft()))
         return results
 
     def process_directory(self, data_dir: str, output_dir: str,

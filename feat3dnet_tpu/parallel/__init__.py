@@ -18,10 +18,11 @@ from feat3dnet_tpu.parallel.mesh import make_mesh, data_sharding, replicated_sha
 from feat3dnet_tpu.parallel.data_parallel import (make_dp_train_step,
                                                   make_fused_dp_train_step,
                                                   shard_batch)
-from feat3dnet_tpu.parallel.point_parallel import keypoint_sharded_attention
+from feat3dnet_tpu.parallel.point_parallel import (keypoint_sharded_attention,
+                                                   make_sharded_extract)
 
 __all__ = [
     "make_mesh", "data_sharding", "replicated_sharding",
     "make_dp_train_step", "make_fused_dp_train_step", "shard_batch",
-    "keypoint_sharded_attention",
+    "keypoint_sharded_attention", "make_sharded_extract",
 ]

@@ -52,3 +52,101 @@ def keypoint_sharded_attention(
         in_shardings=(repl, repl, repl),
         out_shardings=(NamedSharding(mesh, P(axis_name)),) * 2,
     )
+
+
+def make_sharded_extract(model: Feat3DNet, mesh: Mesh, mcfg, icfg,
+                         n_bucket: int, axis_name: str = "data") -> Callable:
+    """Mesh-sharded END-TO-END extraction on the Morton-sorted layout.
+
+    Round-2 mesh mode sharded only the attention pass (and dropped the
+    hashed kernels); this shards the whole pipeline:
+
+      * grouping + detector: each device runs the spatially-pruned Pallas
+        ball-query (ops/hash_grid.py) for its contiguous shard of sorted
+        centers against the replicated cloud — the exact keypoint-sharding
+        pattern of keypoint_sharded_attention, now on the fast kernels;
+      * NMS ball-max: per-device ball_max_sorted over its center shard
+        (candidate values arrive via one (N,)-scalar all-gather over ICI);
+      * selection (top-k over N scalars) replicates — it is trivial;
+      * descriptors: keypoint axis sharded, one forward per device shard.
+
+    Built with shard_map (explicit per-device Pallas calls + collectives)
+    rather than GSPMD constraints: the kernels' tiled grids must stay
+    per-device. Outputs are replicated and equal the single-device hashed
+    extract (tests/test_parallel.py).
+
+    Returns impl(variables, pts4 (nb,4), blk_bbox (NB,8), inv_perm (nb,))
+    -> (kp (K,3), feats (K,D), kp_att (K,), num ()) — inputs from
+    build_sorted_cloud_host.
+    """
+    import numpy as _np
+
+    from feat3dnet_tpu.models.feat3dnet import Feat3DNet as _F
+    from feat3dnet_tpu.ops.hash_grid import (SortedCloud, ball_max_sorted,
+                                             ball_query_grouped_sorted)
+    from feat3dnet_tpu.ops.nms import select_keypoints
+
+    n_dev = int(_np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    shard = n_bucket // n_dev
+    r = float(mcfg.base_scale)
+    ns = mcfg.num_samples
+    k_max = icfg.max_keypoints
+    assert n_bucket % n_dev == 0 and shard % 128 == 0, (
+        f"bucket {n_bucket} must shard into 128-aligned center tiles "
+        f"across {n_dev} devices")
+    assert k_max % n_dev == 0, (
+        f"max_keypoints {k_max} must divide across {n_dev} devices")
+
+    chunk = 1
+    while (chunk * 2 <= min(icfg.keypoint_chunk, shard)
+           and shard % (chunk * 2) == 0):
+        chunk *= 2
+
+    def attention_nms_shard(variables, pts4, blk_bbox, ctr_shard):
+        sc = SortedCloud(pts4=pts4, blk_bbox=blk_bbox, orig_idx=None,
+                         inv_perm=None, block_size=0)
+        grouped, _, _ = ball_query_grouped_sorted(sc, ctr_shard, r, ns,
+                                                  tile=128)
+        normalized = (grouped - ctr_shard[:, None, :]) / r
+
+        def one_chunk(start):
+            g = jax.lax.dynamic_slice_in_dim(normalized, start, chunk, axis=0)
+            att, _ = model.apply(variables, g[None], training=False,
+                                 method=_F.detect_clusters)
+            return att[0]
+
+        att_shard = jax.lax.map(
+            one_chunk, jnp.arange(shard // chunk) * chunk).reshape(-1)
+        att_full = jax.lax.all_gather(att_shard, axis_name, tiled=True)
+        ballmax_shard = ball_max_sorted(pts4, blk_bbox, att_full,
+                                        float(icfg.nms_radius),
+                                        centers=ctr_shard)
+        return att_shard, ballmax_shard
+
+    def describe_shard(variables, cloud, valid, kp_shard):
+        out = model.apply(variables, cloud, training=False,
+                          keypoints=kp_shard[None], valid_mask=valid)
+        return out.features[0]
+
+    @jax.jit
+    def impl(variables, pts4, blk_bbox, inv_perm):
+        att_s, ballmax_s = jax.shard_map(
+            attention_nms_shard, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis_name)),
+            out_specs=(P(axis_name), P(axis_name)), check_vma=False,
+        )(variables, pts4, blk_bbox, pts4[:, :3])
+        att = att_s[inv_perm]
+        is_max = (att_s >= ballmax_s)[inv_perm]
+        cloud = pts4[inv_perm, :3][None]
+        valid = cloud[..., 0] < 5.0e8                  # invalid -> +1e9
+        kp, kp_att, num = select_keypoints(
+            cloud, att[None], is_max[None], k_max,
+            icfg.min_response_ratio, valid_mask=valid)
+        feats = jax.shard_map(
+            describe_shard, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis_name)),
+            out_specs=P(axis_name), check_vma=False,
+        )(variables, cloud, valid, kp[0])
+        return kp[0], feats, kp_att[0], num[0]
+
+    return impl
