@@ -1,0 +1,210 @@
+"""On-chip kernel regression gate (run on the real TPU).
+
+    python scripts/verify_on_chip.py [--out ONCHIP_GATE.json]
+
+Interpret-mode tests cannot catch Mosaic-only failures (unroll blowups,
+layout/concat restrictions, scalar-store rules — see CLAUDE.md), so this
+gate runs every Pallas kernel family ON THE CHIP and checks it against its
+XLA/dense reference:
+
+  * fps:         Pallas batch-lockstep FPS == lax.scan FPS (index-exact)
+  * batch_group: fused training ball-query == dense ball_query (index-exact)
+  * hashed:      hashed pipeline extract == chunked-XLA extract (oxford_270)
+  * serving:     fused serving kernel vs XLA model path (cosine >= 0.9999),
+                 lane-packed == unpacked (bit-exact),
+                 bf16_act cosine >= 0.999
+  * compile-time ceilings: each phase runs under an alarm — a kernel that
+    stops compiling in bounded time is itself a regression (the Mosaic
+    unroll trap compiles for 40+ min on shape-independent IR blowups).
+
+Writes a JSON summary artifact and exits nonzero on any failure.
+Reference analogue: the CUDA kernel harnesses shipped in-repo at
+tf_ops/grouping/test/ (compile.sh + test binaries).
+"""
+import argparse
+import json
+import os
+import signal
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from feat3dnet_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+# generous ceilings: first-compile through the remote tunnel is 30-400 s
+# per executable; the failure mode being caught is the 40+ min IR blowup
+PHASE_TIMEOUT_S = 1800
+
+
+class PhaseTimeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise PhaseTimeout(f"phase exceeded {PHASE_TIMEOUT_S}s compile ceiling")
+
+
+def run_phase(results, name, fn):
+    t0 = time.time()
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(PHASE_TIMEOUT_S)
+    try:
+        out = fn()
+        out["ok"] = all(v for k, v in out.items() if k.startswith("ok_")) \
+            if any(k.startswith("ok_") for k in out) else True
+    except Exception as e:
+        traceback.print_exc()
+        out = {"ok": False, "error": repr(e)}
+    finally:
+        signal.alarm(0)
+    out["seconds"] = round(time.time() - t0, 1)
+    results[name] = out
+    print(f"[{name}] {out}", flush=True)
+
+
+def load_oxford():
+    from feat3dnet_tpu.data.io import example_cloud_path, load_point_cloud
+
+    return load_point_cloud(example_cloud_path("oxford_270.bin"), num_cols=6)
+
+
+def phase_fps():
+    from feat3dnet_tpu.ops.fps import (farthest_point_sample_pallas,
+                                       farthest_point_sample_scan)
+
+    cloud = load_oxford()
+    xyz = jnp.asarray(cloud[None, :, :3])
+    a = np.asarray(farthest_point_sample_pallas(xyz, 512))
+    b = np.asarray(farthest_point_sample_scan(xyz, 512))
+    return {"ok_equal": bool(np.array_equal(a, b))}
+
+
+def phase_batch_group():
+    from feat3dnet_tpu.ops import ball_query, farthest_point_sample, gather_points
+    from feat3dnet_tpu.ops.batch_group import ball_query_fused
+
+    cloud = load_oxford()
+    rng = np.random.RandomState(0)
+    sel = rng.choice(cloud.shape[0], (4, 4096), replace=True)
+    xyz = np.asarray(cloud[sel][..., :3], np.float32)
+    # cloud 0 stays sparse; clouds 1-3 get dense hotspots placed at HIGH
+    # original indices so saturated balls exercise large-integer routing
+    # (the r3 on-chip catch: default bf16 matmul precision corrupts index
+    # payloads > 256 — counts and positions must survive saturation too)
+    for b in range(1, 4):
+        xyz[b, 3000:4000] = xyz[b, 3000:3001] \
+            + rng.randn(1000, 3).astype(np.float32) * 0.5
+    xyz = jnp.asarray(xyz)
+    ctr = gather_points(xyz, farthest_point_sample(xyz, 512))
+    idx_d, cnt_d = ball_query(xyz, ctr, 2.0, 64)
+    idx_f, cnt_f = ball_query_fused(xyz, ctr, 2.0, 64)
+    return {
+        "ok_idx": bool(np.array_equal(np.asarray(idx_d), np.asarray(idx_f))),
+        "ok_cnt": bool(np.array_equal(np.asarray(cnt_d), np.asarray(cnt_f))),
+        "saturated_frac": float((np.asarray(cnt_d) == 64).mean()),
+    }
+
+
+def phase_hashed_extract():
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cloud = load_oxford()
+    cfg = ModelConfig(num_clusters=-1)
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)),
+                   training=False)
+    hashed = InferencePipeline(
+        model, v, cfg, InferenceConfig(use_hashed_grouping=True)).extract(cloud)
+    dense = InferencePipeline(
+        model, v, cfg, InferenceConfig(use_hashed_grouping=False)).extract(cloud)
+    kp_eq = (hashed.num_keypoints == dense.num_keypoints
+             and np.allclose(hashed.keypoints, dense.keypoints, atol=1e-6))
+    feat_close = np.allclose(hashed.features, dense.features,
+                             rtol=1e-4, atol=1e-5)
+    return {"ok_keypoints": bool(kp_eq), "ok_features": bool(feat_close),
+            "num_keypoints": int(hashed.num_keypoints)}
+
+
+def phase_serving():
+    from feat3dnet_tpu.config import ModelConfig
+    from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.ops import ball_query, farthest_point_sample, gather_points, group_points
+    from feat3dnet_tpu.ops.fused_describe import (folded_weights,
+                                                  fused_describe_clusters)
+
+    cloud = load_oxford()
+    cfg = ModelConfig()
+    model = Feat3DNet(cfg)
+    xyz = jnp.asarray(cloud[None, :, :3])
+    centers = gather_points(xyz, farthest_point_sample(xyz, 512))
+    nidx, _ = ball_query(xyz, centers, 2.0, 64)
+    clusters = (group_points(xyz, nidx) - centers[:, :, None, :])[0]
+    kp = jnp.zeros((clusters.shape[0], 1, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), clusters[:8],
+                           training=False, keypoints=kp[:8])
+    weights = folded_weights(variables, cfg)
+
+    want = model.apply(variables, clusters, training=False, keypoints=kp)
+    ref_desc = np.asarray(want.features[:, 0, :])
+    d_packed, _ = fused_describe_clusters(weights, clusters, cfg,
+                                          lane_pack=True)
+    d_plain, _ = fused_describe_clusters(weights, clusters, cfg,
+                                         lane_pack=False)
+    d_bf16, _ = fused_describe_clusters(weights, clusters, cfg,
+                                        lane_pack=True, bf16_act=True)
+    d_packed, d_plain, d_bf16 = map(np.asarray, (d_packed, d_plain, d_bf16))
+
+    def min_cos(a, b):
+        na = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        nz = na > 1e-6
+        return float(((a * b).sum(-1)[nz] / na[nz]).min()) if nz.any() else 1.0
+
+    return {
+        "ok_vs_model": min_cos(d_plain, ref_desc) >= 0.9999,
+        "ok_lane_pack_exact": bool(np.array_equal(d_packed, d_plain)),
+        "ok_bf16_cos": min_cos(d_bf16, d_plain) >= 0.999,
+        "cos_vs_model": min_cos(d_plain, ref_desc),
+        "cos_bf16": min_cos(d_bf16, d_plain),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ONCHIP_GATE.json"))
+    args = ap.parse_args()
+
+    assert jax.default_backend() == "tpu", (
+        f"this gate must run on the real chip (backend: "
+        f"{jax.default_backend()}) — interpret mode cannot catch Mosaic "
+        f"failures")
+
+    results = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0])}
+    run_phase(results, "fps", phase_fps)
+    run_phase(results, "batch_group", phase_batch_group)
+    run_phase(results, "hashed_extract", phase_hashed_extract)
+    run_phase(results, "serving", phase_serving)
+    ok = all(v.get("ok", False) for k, v in results.items()
+             if isinstance(v, dict))
+    results["all_ok"] = ok
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({"all_ok": ok, "out": args.out}))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
