@@ -1052,6 +1052,94 @@ def _bq_csr_raw(sc_pts4: Array, centers: Array, tile_of: Array, blk_of: Array,
     return top[:m], cnt[:m, 0]
 
 
+def _bq_csr_kernel_t(tile_of, blk_of, ctrT_ref, pts_ref, ptsT_ref,
+                     topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+                     *, r2: float, tc: int, L: int, ns: int):
+    k = pl.program_id(0)
+    t = tile_of[k]
+    prev = tile_of[jnp.maximum(k - 1, 0)]
+
+    @pl.when(jnp.logical_or(k == 0, t != prev))
+    def _init():
+        _init_merge_buffers_t(topx_ref, topy_ref, topz_ref, topk_ref,
+                              cnt_ref, tc, ns)
+
+    _merge_block_t(ctrT_ref, pts_ref, ptsT_ref, topx_ref, topy_ref,
+                   topz_ref, topk_ref, cnt_ref, r2=r2, tc=tc, L=L, ns=ns)
+
+
+@partial(jax.jit, static_argnames=("radius", "nsample", "block_size", "tile",
+                                   "interpret"))
+def _bq_csr_raw_t(sc_pts4: Array, centers: Array, tile_of: Array,
+                  blk_of: Array, radius: float, nsample: int,
+                  block_size: int = 256, tile: int = 128,
+                  interpret: Optional[bool] = None):
+    """Transposed-merge CSR driver — same contract as _bq_csr_raw."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m = centers.shape[0]
+    L = block_size
+    ns = nsample
+    tc = tile
+    pad = -m % tc
+    centers_p = jnp.pad(centers.astype(jnp.float32), ((0, pad), (0, 0)),
+                        constant_values=_FAR_CENTER)
+    mp = m + pad
+    tiles = mp // tc
+    ctrT = jnp.concatenate(
+        [centers_p.T, jnp.zeros((5, mp), jnp.float32)], axis=0)   # (8, Mp)
+    # sentinel block NB: +1e9 points that can never fall in a real ball
+    pts_ext = jnp.concatenate(
+        [sc_pts4, jnp.full((L, 4), _FAR, jnp.float32)], axis=0)   # (Np+L, 4)
+    ptsT_ext = jnp.concatenate(
+        [pts_ext.T, jnp.ones((1, pts_ext.shape[0]), jnp.float32),
+         jnp.zeros((3, pts_ext.shape[0]), jnp.float32)], axis=0)  # (8, Np+L)
+    r2 = float(radius) ** 2
+    steps = tile_of.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((8, tc), lambda k, tof, bof: (0, tof[k]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4), lambda k, tof, bof: (bof[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, L), lambda k, tof, bof: (0, bof[k]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            [pl.BlockSpec((ns, tc), lambda k, tof, bof: (tof[k], 0),
+                          memory_space=pltpu.VMEM) for _ in range(4)]
+            + [pl.BlockSpec((8, tc), lambda k, tof, bof: (tof[k], 0),
+                            memory_space=pltpu.VMEM)]),
+    )
+    topx, topy, topz, topk, cnt = pl.pallas_call(
+        partial(_bq_csr_kernel_t, r2=r2, tc=tc, L=L, ns=ns),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles * ns, tc), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * ns, tc), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * ns, tc), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * ns, tc), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * 8, tc), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(tile_of, blk_of, ctrT, pts_ext, ptsT_ext)
+
+    def untranspose(plane):
+        return jnp.swapaxes(plane.reshape(tiles, ns, tc), 1, 2).reshape(
+            mp, ns)[:m]
+
+    top = jnp.stack([untranspose(topx), untranspose(topy),
+                     untranspose(topz), untranspose(topk)], axis=-1)
+    cnt_rows = cnt.reshape(tiles, 8, tc)[:, 0].reshape(mp)[:m]
+    return top, cnt_rows
+
+
 def ball_query_grouped_csr(
     sc: SortedCloud, centers: Array, tile_of: Array, blk_of: Array,
     radius: float, nsample: int, block_size: int = 256, tile: int = 128,
@@ -1059,10 +1147,11 @@ def ball_query_grouped_csr(
 ) -> Tuple[Array, Array, Array]:
     """ball_query_grouped_sorted with a precomputed host-side hit list
     (build_hit_csr_host) — identical outputs, no skipped grid steps."""
-    top, cnt_raw = _bq_csr_raw(sc.pts4, centers, tile_of, blk_of,
-                               float(radius), nsample,
-                               block_size=block_size, tile=tile,
-                               interpret=interpret)
+    raw = _bq_csr_raw_t if _USE_TRANSPOSED_MERGE else _bq_csr_raw
+    top, cnt_raw = raw(sc.pts4, centers, tile_of, blk_of,
+                       float(radius), nsample,
+                       block_size=block_size, tile=tile,
+                       interpret=interpret)
     return _finish_grouped(top, cnt_raw, centers, nsample)
 
 
