@@ -1,0 +1,66 @@
+"""Device train-step time matrix: {f32, bf16 towers} x {fused, dense
+grouping}, chained executables (tunnel-RTT-free).
+
+    python benchmarks/bench_step_matrix.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from feat3dnet_tpu.config import ModelConfig, TrainConfig
+    from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.train.trainer import init_state, make_fused_train_step
+    import feat3dnet_tpu.ops.batch_group as bg
+    from feat3dnet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    tcfg = TrainConfig()
+    rng = np.random.RandomState(0)
+    a = rng.randn(tcfg.batch_size, tcfg.num_points, 3).astype(np.float32) * 8
+    clouds = jnp.asarray(np.concatenate(
+        [a, a + 0.01 * rng.randn(*a.shape).astype(np.float32),
+         np.roll(a, 1, 0)], axis=0))
+    K = 16
+    orig = bg.use_fused_ball_query
+
+    for dtype_name, dtype in (("float32", jnp.float32),
+                              ("bfloat16", jnp.bfloat16)):
+        cfg = ModelConfig(compute_dtype=dtype)
+        model = Feat3DNet(cfg)
+        state, tx = init_state(model, tcfg, cfg, jax.random.PRNGKey(0))
+        step = make_fused_train_step(model, tx, cfg.margin, cfg.attention)
+
+        for label, enabled in (("fused", True), ("dense", False)):
+            bg.use_fused_ball_query = orig if enabled else (lambda *a_: False)
+
+            @jax.jit
+            def chain(state, clouds):
+                return jax.lax.fori_loop(
+                    0, K, lambda i, s: step(s, clouds)[0], state)
+
+            s1 = chain(state, clouds)
+            float(jnp.sum(s1.params["detection"]["conv0"]["conv2d"]["bias"]))
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                s1 = chain(state, clouds)
+                float(jnp.sum(
+                    s1.params["detection"]["conv0"]["conv2d"]["bias"]))
+                ts.append(time.time() - t0)
+            ms = float(np.median(ts)) / K * 1000
+            print(f"{dtype_name:9s} {label:6s}: {ms:6.2f} ms/step device "
+                  f"({1000/ms:5.1f} steps/s)", flush=True)
+    bg.use_fused_ball_query = orig
+
+
+if __name__ == "__main__":
+    main()

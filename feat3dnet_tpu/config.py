@@ -100,10 +100,12 @@ class InferenceConfig:
     # Morton-block layout parameters for the hashed kernels: points per
     # culling block (and per merge step) / centers per kernel tile. Smaller
     # blocks cull tighter (less per-step slack) but sequence more grid
-    # steps; 256/128 are the measured sweet spot at submap scale
-    # (benchmarks/sweep_merge.py).
+    # steps; larger tiles amortize per-step block loads. 256×256 is the
+    # measured optimum for the transposed merge at 120k-submap scale
+    # (benchmarks/sweep_merge.py r3: 0.50-0.52 s vs 0.61 s at 256×128,
+    # 0.73 s at 128×128, 0.56 s at 512×256).
     hash_block: int = 256
-    hash_tile: int = 128
+    hash_tile: int = 256
     # Kernel flavor inside the hashed extract: True = CSR (scalar-prefetch
     # hit lists, no skipped grid steps), False = dense grid with bit-packed
     # skip mask. Identical outputs; both index-exact. Measured A/B on the

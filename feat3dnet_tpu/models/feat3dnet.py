@@ -86,11 +86,11 @@ def _group_normalized(
                                                use_fused_ball_query)
 
     if use_fused_ball_query(xyz, centers, radius, nsample, valid_mask):
-        # training-shape fast path: the fused VMEM kernel replaces the XLA
-        # counting formulation's HBM-materialized (B·M, N, ns) broadcast
-        # (~12.7 ms -> ~2 ms of the train step); index-exact vs ball_query
-        # (tests/test_batch_group.py), differentiable grads preserved via
-        # the group_points gather below
+        # opt-in (F3D_FUSED_BQ=1) fused VMEM ball-query kernel — index-exact
+        # vs ball_query (tests/test_batch_group.py, on-chip gate) but
+        # measured SLOWER inside the full train step than the XLA counting
+        # formulation (see ops/batch_group.py header); differentiable
+        # grads preserved via the group_points gather below
         idx, cnt = ball_query_fused(xyz, centers, float(radius), nsample)
     else:
         idx, cnt = ball_query(xyz, centers, radius, nsample,

@@ -1,10 +1,14 @@
 """Batched fused ball query for training shapes (Pallas).
 
-The training step's dense ball query (ops/neighborhoods.py) is the XLA
-counting formulation: its per-slot compare-reduce over (B·M, N, ns) is a
-2.4-gig-element broadcast that XLA materializes through HBM — ~12.7 ms of
-the 21 ms device step at the paper shapes (18 clouds × 4096 pts × 512
-centers × ns 64). This kernel runs the same selection entirely in VMEM:
+An alternative to the dense ball query (ops/neighborhoods.py) for the
+training shapes (18 clouds × 4096 pts × 512 centers × ns 64) that runs
+the whole selection in VMEM instead of the XLA counting formulation's
+(B·M, N, ns) broadcast. Standalone it is slightly faster than the dense
+op (9.1 vs 10.2 ms chained, r3 v5e); INSIDE the fused train step it is
+slightly slower (see use_fused_ball_query) because XLA fuses the counting
+compare-reduce into the step well — so it is opt-in. Kept on-chip-gated
+(scripts/verify_on_chip.py) as the building block for shapes where VMEM
+residency wins:
 
   1. distances (N, tc) per center-tile — the whole cloud stays resident;
   2. the reference's "first nsample in index order" selection
@@ -182,12 +186,28 @@ def ball_query_fused(
     return idx, cnt
 
 
+import os as _os
+
+# MEASURED NEGATIVE in-step (benchmarks/bench_step_matrix.py, r3 v5e):
+# with the routing matmuls at the exactness-mandatory HIGHEST precision,
+# the full train step runs 29.3 ms fused vs 27.2 ms dense (f32) and
+# 20.3 vs 18.7 ms (bf16 towers) — XLA fuses the dense counting
+# formulation into the step better than the r2 12.7-ms standalone
+# attribution suggested (standalone: dense 10.2 ms, fused 9.1 ms, but
+# towers fwd+bwd alone are 20.6 ms — see probe_train_breakdown.py).
+# The kernel stays available (index-exact, on-chip-gated) for shapes
+# where it wins; opt in with F3D_FUSED_BQ=1.
+_FUSED_BQ_ENABLED = _os.environ.get("F3D_FUSED_BQ", "0") == "1"
+
+
 def use_fused_ball_query(xyz: Array, centers: Array, radius, nsample: int,
                          valid_mask) -> bool:
     """Static dispatch test for the fused kernel (mirrors ops/fps.py:55-63):
-    TPU backend, no mask, scalar radius, shapes inside the VMEM budget
-    (cloud + (N, tc) intermediates + the (N, SC·tc) routing matrix)."""
-    return (jax.default_backend() == "tpu"
+    opt-in (see _FUSED_BQ_ENABLED), TPU backend, no mask, scalar radius,
+    shapes inside the VMEM budget (cloud + (N, tc) intermediates + the
+    (N, SC·tc) routing matrix)."""
+    return (_FUSED_BQ_ENABLED
+            and jax.default_backend() == "tpu"
             and valid_mask is None
             and not hasattr(radius, "ndim")
             and xyz.ndim == 3
