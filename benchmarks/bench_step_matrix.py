@@ -1,7 +1,7 @@
 """Device train-step time matrix: {f32, bf16 towers} x {fused, dense
-grouping}, chained executables (tunnel-RTT-free).
+grouping} x {remat}, chained executables (tunnel-RTT-free).
 
-    python benchmarks/bench_step_matrix.py
+    python benchmarks/bench_step_matrix.py [--remat-only]
 """
 import os
 import sys
@@ -32,14 +32,21 @@ def main():
     K = 16
     orig = bg.use_fused_ball_query
 
+    remat_only = "--remat-only" in sys.argv
+    variants = ([("dense", False, False), ("dense+remat", False, True)]
+                if remat_only else
+                [("fused", True, False), ("dense", False, False),
+                 ("dense+remat", False, True)])
+
     for dtype_name, dtype in (("float32", jnp.float32),
                               ("bfloat16", jnp.bfloat16)):
         cfg = ModelConfig(compute_dtype=dtype)
         model = Feat3DNet(cfg)
         state, tx = init_state(model, tcfg, cfg, jax.random.PRNGKey(0))
-        step = make_fused_train_step(model, tx, cfg.margin, cfg.attention)
 
-        for label, enabled in (("fused", True), ("dense", False)):
+        for label, enabled, remat in variants:
+            step = make_fused_train_step(model, tx, cfg.margin,
+                                         cfg.attention, remat=remat)
             bg.use_fused_ball_query = orig if enabled else (lambda *a_: False)
 
             @jax.jit
@@ -57,7 +64,7 @@ def main():
                     s1.params["detection"]["conv0"]["conv2d"]["bias"]))
                 ts.append(time.time() - t0)
             ms = float(np.median(ts)) / K * 1000
-            print(f"{dtype_name:9s} {label:6s}: {ms:6.2f} ms/step device "
+            print(f"{dtype_name:9s} {label:12s}: {ms:6.2f} ms/step device "
                   f"({1000/ms:5.1f} steps/s)", flush=True)
     bg.use_fused_ball_query = orig
 

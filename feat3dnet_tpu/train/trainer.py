@@ -90,6 +90,7 @@ def make_train_step(
     margin: float,
     use_attention: bool,
     grad_reduce_axis: Optional[str] = None,
+    remat: bool = False,
 ) -> Callable:
     """Build the jit-able train step.
 
@@ -97,23 +98,38 @@ def make_train_step(
       grad_reduce_axis: mesh axis name to psum grads over when the step runs
         inside shard_map; None for single-device / jit-with-shardings (where
         XLA inserts the collective itself).
+      remat: rematerialize the forward in the backward pass instead of
+        saving activations. The towers are HBM-bound on ~2 GB of saved
+        f32 activations (docs/BENCHMARKS.md train-step roofline) while the
+        MXU is half idle on the K=3/32/64 layers — recomputing trades
+        cheap flops for that traffic.
     """
 
     def step(state: TrainState, anchors: Array, positives: Array, negatives: Array):
         clouds = jnp.concatenate([anchors, positives, negatives], axis=0)[..., :3]
         return _train_core(state, clouds)
 
+    def _apply(params, batch_stats, clouds):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            clouds, training=True, mutable=["batch_stats"],
+        )
+        # plain pytree outputs (jax.checkpoint cannot return the
+        # Feat3DNetOutput dataclass)
+        return (out.features, out.attention, out.end_points["det_cnt"],
+                mutated.get("batch_stats", {}))
+
+    apply_fn = jax.checkpoint(_apply) if remat else _apply
+
     def _train_core(state: TrainState, clouds: Array):
         def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                clouds, training=True, mutable=["batch_stats"],
-            )
-            a_feat, p_feat, n_feat = jnp.split(out.features, 3, axis=0)
-            a_att = jnp.split(out.attention, 3, axis=0)[0] if use_attention else None
+            features, attention, det_cnt, batch_stats = apply_fn(
+                params, state.batch_stats, clouds)
+            a_feat, p_feat, n_feat = jnp.split(features, 3, axis=0)
+            a_att = jnp.split(attention, 3, axis=0)[0] if use_attention else None
             loss, aux = alignment_triplet_loss(a_feat, p_feat, n_feat, a_att, margin)
-            aux["det_cnt"] = out.end_points["det_cnt"]
-            return loss, (mutated.get("batch_stats", {}), aux)
+            aux["det_cnt"] = det_cnt
+            return loss, (batch_stats, aux)
 
         (loss, (batch_stats, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         if grad_reduce_axis is not None:
@@ -153,6 +169,7 @@ def make_fused_train_step(
     use_attention: bool,
     augmentations: Optional[tuple] = None,
     aug_seed: int = 0,
+    remat: bool = False,
 ) -> Callable:
     """Single-dispatch train step: `step(state, clouds)` with clouds the
     stacked (3B, N, 3) triplet batch — anchors | positives | negatives.
@@ -166,7 +183,7 @@ def make_fused_train_step(
     jit, and the caller ships one pre-stacked array (ideally device_put
     from the prefetch thread — data/datagenerator.prefetch(transform=...)).
     """
-    base = make_train_step(model, tx, margin, use_attention)
+    base = make_train_step(model, tx, margin, use_attention, remat=remat)
     core = base._train_core
 
     def step(state: TrainState, clouds: Array):

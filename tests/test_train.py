@@ -105,3 +105,25 @@ def test_fused_train_step_augmented_deterministic(rng):
     assert float(m1["loss"]) == float(m1b["loss"])   # same step -> same key
     _, m2 = plain(state_b, stacked)
     assert float(m1["loss"]) != float(m2["loss"])
+
+
+def test_remat_step_matches_plain(rng):
+    """remat=True recomputes the forward in the backward pass — the step
+    outputs (loss, params, batch_stats) must be identical to the plain
+    step (same primals, same cotangents, just not saved)."""
+    model = Feat3DNet(CFG)
+    state, tx = init_state(model, TCFG, CFG, jax.random.PRNGKey(0))
+    plain = jax.jit(make_train_step(model, tx, 1.0, CFG.attention))
+    remat = jax.jit(make_train_step(model, tx, 1.0, CFG.attention,
+                                    remat=True))
+    batch = _triplet_batch(rng)
+    s_p, m_p = plain(state, *batch)
+    s_r, m_r = remat(state, *batch)
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_p["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_p.params), jax.tree.leaves(s_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(s_p.batch_stats),
+                    jax.tree.leaves(s_r.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
