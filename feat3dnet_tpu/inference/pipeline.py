@@ -499,17 +499,24 @@ class InferencePipeline:
         )
 
     def extract_many(self, clouds, rng: Optional[np.random.RandomState] = None,
-                     depth: int = 2, prep_workers: int = 4):
+                     depth: int = 2, prep_workers: int = 1):
         """Pipelined extraction over many clouds (throughput mode).
 
         Three overlapping stages: (1) host Morton sort + packing runs in a
-        `prep_workers`-thread pool (clouds are independent; the heavy numpy
-        sorts release the GIL) while (2) the device computes earlier clouds
-        (dispatches are async — up to `depth` in flight) and (3) the main
-        thread unpacks finished clouds. Per-cloud latency is unchanged; the
-        per-cloud host prep and the device compute stop serializing, which
-        is the production serving pattern. Falls back to sequential
-        extract() off the hashed path.
+        `prep_workers`-thread pool while (2) the device computes earlier
+        clouds (dispatches are async — up to `depth` in flight) and (3)
+        the main thread unpacks finished clouds. Per-cloud latency is
+        unchanged; the per-cloud host prep and the device compute stop
+        serializing, which is the production serving pattern. Falls back
+        to sequential extract() off the hashed path.
+
+        prep_workers default 1: one worker fully overlaps prep with the
+        device compute (measured r3 at 120k: 2.68 clouds/s = 1.71× the
+        sequential extract loop; more workers were SLOWER on this
+        environment's single-CPU host). On multi-core hosts, raise it —
+        the prep now runs through the native GIL-releasing sort+pack
+        (native/morton_pack.cpp, 1.56× the numpy path single-threaded),
+        so extra workers genuinely parallelize.
 
         Determinism: when `rng` is given, the point permutations are drawn
         serially in input order BEFORE the parallel prep, so results equal

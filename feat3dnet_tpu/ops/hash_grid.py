@@ -140,15 +140,37 @@ def build_sorted_cloud(xyz: Array, valid_mask: Optional[Array] = None,
 
 
 def build_sorted_cloud_host(xyz, valid_mask=None, cell_size: float = 2.0,
-                            block_size: int = 256) -> SortedCloud:
-    """Numpy mirror of build_sorted_cloud for host-resident clouds.
+                            block_size: int = 256,
+                            use_native: bool = True) -> SortedCloud:
+    """Numpy/native mirror of build_sorted_cloud for host-resident clouds.
 
     The XLA bitonic sort at >=16k points compiles for tens of minutes on
-    the remote TPU compile service; np.argsort is microseconds and the
+    the remote TPU compile service; a host sort is microseconds and the
     cloud is on the host anyway at pipeline entry. Produces bit-identical
     layout to the device version (same IEEE ops, both sorts stable) —
-    asserted by tests/test_hash_bq.py."""
+    asserted by tests/test_hash_bq.py.
+
+    use_native: prefer the C++ sort+pack (native/morton_pack.cpp) — the
+    same layout bit-for-bit (tests/test_native_morton.py), but it releases
+    the GIL so extract_many's prep threads scale. Falls back to numpy when
+    the library is unavailable."""
     import numpy as np
+
+    if use_native:
+        from feat3dnet_tpu.utils.native import morton_pack
+
+        packed = morton_pack(np.asarray(xyz, np.float32), valid_mask,
+                             float(cell_size), block_size)
+        if packed is not None:
+            pts4, blk_bbox, inv_perm = packed
+            # pad rows carry unique key sentinels >= n in the key channel;
+            # orig_idx mirrors the numpy path's safe-index convention
+            # (pad rows alias point 0)
+            orig_idx = pts4[:, 3].astype(np.int32)
+            orig_idx[orig_idx >= xyz.shape[0]] = 0
+            return SortedCloud(pts4=pts4, blk_bbox=blk_bbox,
+                               orig_idx=orig_idx,
+                               inv_perm=inv_perm, block_size=block_size)
 
     xyz = np.asarray(xyz, np.float32)
     n = xyz.shape[0]

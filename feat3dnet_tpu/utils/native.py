@@ -54,6 +54,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.c_long]
     lib.f3d_read_cloud.restype = ctypes.c_long
+    lib.f3d_morton_pack.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.f3d_morton_pack.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -100,3 +106,38 @@ def load_processed_batch(paths: List[str], num_cols: int, crop_radius: float,
         bad = [paths[i] for i in np.nonzero(status)[0]]
         raise IOError(f"native batch loader failed on {bad[:3]}...")
     return out
+
+
+def morton_pack(xyz: np.ndarray, valid_mask: Optional[np.ndarray],
+                cell_size: float, block_size: int):
+    """Native Morton-block layout (native/morton_pack.cpp), bit-identical
+    to the numpy path in ops/hash_grid.build_sorted_cloud_host. Returns
+    (pts4, blk_bbox, inv_perm) or None if the library is unavailable.
+
+    The ctypes call releases the GIL for the whole sort+pack, so
+    extract_many's prep thread pool actually scales (numpy argsort holds
+    the GIL — measured r3: 4 prep threads SLOWER than 1 on the numpy
+    path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz[:, :3], np.float32)
+    n = xyz.shape[0]
+    pad = -n % block_size
+    np_ = n + pad
+    vm_ptr = None
+    if valid_mask is not None:
+        vm = np.ascontiguousarray(valid_mask.astype(np.uint8))
+        vm_ptr = vm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    pts4 = np.empty((np_, 4), np.float32)
+    blk_bbox = np.empty((np_ // block_size, 8), np.float32)
+    inv_perm = np.empty((n,), np.int32)
+    rc = lib.f3d_morton_pack(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), vm_ptr,
+        n, ctypes.c_float(cell_size), block_size,
+        pts4.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        blk_bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        inv_perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != np_:
+        return None
+    return pts4, blk_bbox, inv_perm
