@@ -99,10 +99,13 @@ def make_train_step(
         inside shard_map; None for single-device / jit-with-shardings (where
         XLA inserts the collective itself).
       remat: rematerialize the forward in the backward pass instead of
-        saving activations. The towers are HBM-bound on ~2 GB of saved
-        f32 activations (docs/BENCHMARKS.md train-step roofline) while the
-        MXU is half idle on the K=3/32/64 layers — recomputing trades
-        cheap flops for that traffic.
+        saving activations. MEASURED NEGATIVE at the paper shapes
+        (bench_step_matrix.py --remat-only, r3 v5e: 50.5 vs 27.2 ms f32,
+        39.1 vs 18.2 ms bf16): full-forward remat re-runs the grouping
+        (~8 ms) and the lane-limited tower matmuls in the backward, which
+        costs more than the ~2 GB activation traffic it saves. Kept for
+        memory-constrained configs (bigger batches / clouds than the
+        paper's), where recompute is the only way to fit.
     """
 
     def step(state: TrainState, anchors: Array, positives: Array, negatives: Array):
