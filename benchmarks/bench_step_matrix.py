@@ -47,6 +47,9 @@ def main():
         for label, enabled, remat in variants:
             step = make_fused_train_step(model, tx, cfg.margin,
                                          cfg.attention, remat=remat)
+            # force the kernel past its opt-in env gate for the A/B (the
+            # shape checks still apply); plain `orig` would measure dense
+            bg._FUSED_BQ_ENABLED = enabled
             bg.use_fused_ball_query = orig if enabled else (lambda *a_: False)
 
             @jax.jit

@@ -146,6 +146,7 @@ def phase_train_step():
 
     orig = bg.use_fused_ball_query
     for label, enabled in [("fused_group", True), ("dense_group", False)]:
+        bg._FUSED_BQ_ENABLED = enabled   # past the opt-in env gate
         bg.use_fused_ball_query = orig if enabled else (lambda *a: False)
         f = jax.jit(chain)
         s1 = f(state, clouds)

@@ -185,7 +185,8 @@ class InferencePipeline:
 
         sc = build_sorted_cloud_host(np.asarray(cloud_j[0, :, :3]),
                                      np.asarray(valid_j[0]),
-                                     cell_size=float(self.mcfg.base_scale))
+                                     cell_size=float(self.mcfg.base_scale),
+                                     block_size=self._HASH_BLOCK)
         return jnp.asarray(sc.pts4), jnp.asarray(sc.blk_bbox), jnp.asarray(sc.inv_perm)
 
     # Morton block / center-tile sizes for the hashed path come from
@@ -440,10 +441,16 @@ class InferencePipeline:
         icfg = self.icfg
         n, n_bucket, padded, valid = self._pad_to_bucket(cloud, rng)
 
-        if keypoints is None and self.mesh is not None:
+        if (keypoints is None and self.mesh is not None
+                and self.icfg.use_hashed_grouping is not False):
             # mesh mode: END-TO-END sharded extraction on the Morton-sorted
             # layout (grouping+detector, NMS ball-max, and descriptors all
-            # shard the center/keypoint axis — parallel/point_parallel.py)
+            # shard the center/keypoint axis — parallel/point_parallel.py).
+            # An EXPLICIT use_hashed_grouping=False opts out to the
+            # attention-only sharded path below (the kernels run
+            # interpreted off-TPU — correct, slower; the default None
+            # keeps the sharded path on any backend since mesh mode
+            # exists for multi-chip execution)
             pts4, blk_bbox, inv_perm = self._host_sort(padded, valid)
             kp, feats, kp_att, num = jax.device_get(
                 self._mesh_extract_fn(n_bucket)(

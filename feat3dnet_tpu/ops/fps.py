@@ -58,6 +58,7 @@ def farthest_point_sample(
     # explicitly when placing work on CPU from a TPU host) uses the scan.
     if (jax.default_backend() == "tpu" and xyz.ndim == 3
             and xyz.dtype == jnp.float32 and npoint > 1
+            and xyz.shape[1] > 128  # Mosaic argmax fails on a single 128-lane tile
             and xyz.shape[0] * xyz.shape[1] <= 600_000):  # ~12 MB VMEM budget
         return farthest_point_sample_pallas(xyz, npoint, valid_mask=valid_mask)
     return farthest_point_sample_scan(xyz, npoint, valid_mask=valid_mask)

@@ -89,6 +89,10 @@ def build_sorted_cloud(xyz: Array, valid_mask: Optional[Array] = None,
     L = block_size
     if valid_mask is None:
         valid_mask = jnp.ones((n,), bool)
+    # non-finite coords (unsanitized sensor dropout) are treated as
+    # invalid — keeps all three builder implementations (device, numpy,
+    # native) bit-identical where NaN comparison semantics would diverge
+    valid_mask = valid_mask & jnp.all(jnp.isfinite(xyz), axis=-1)
     pts = jnp.where(valid_mask[:, None], xyz.astype(jnp.float32), _FAR)
 
     finite_min = jnp.min(jnp.where(valid_mask[:, None], pts, _FAR), axis=0)
@@ -177,7 +181,7 @@ def build_sorted_cloud_host(xyz, valid_mask=None, cell_size: float = 2.0,
     L = block_size
     if valid_mask is None:
         valid_mask = np.ones((n,), bool)
-    valid_mask = np.asarray(valid_mask, bool)
+    valid_mask = np.asarray(valid_mask, bool) & np.isfinite(xyz).all(axis=1)
     pts = np.where(valid_mask[:, None], xyz, np.float32(_FAR))
 
     finite_min = np.min(np.where(valid_mask[:, None], pts, np.float32(_FAR)), axis=0)

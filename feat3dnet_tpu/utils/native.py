@@ -36,10 +36,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _load_attempted = True
     if not os.path.exists(_LIB_PATH) and not _build():
         return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        return None
+    for attempt in range(2):
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            _bind(lib)
+            _lib = lib
+            return _lib
+        except OSError:
+            return None
+        except AttributeError:
+            # stale libf3dnative.so from before a symbol was added —
+            # rebuild once, else fall back to the pure-numpy paths
+            if attempt == 0 and _build():
+                continue
+            return None
+    return None
+
+
+def _bind(lib) -> None:
     lib.f3d_load_processed.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
         ctypes.c_uint64, ctypes.POINTER(ctypes.c_float)]
@@ -60,8 +74,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32)]
     lib.f3d_morton_pack.restype = ctypes.c_int
-    _lib = lib
-    return _lib
 
 
 def native_available() -> bool:

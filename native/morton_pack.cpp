@@ -49,9 +49,13 @@ int f3d_morton_pack(const float* xyz, const uint8_t* valid, int n,
 
   // masked coords + finite min
   std::vector<float> pts(static_cast<size_t>(n) * 3);
+  std::vector<uint8_t> ok_row(n);
   float fmin3[3] = {kFar, kFar, kFar};
   for (int i = 0; i < n; ++i) {
-    const bool ok = valid == nullptr || valid[i];
+    bool ok = valid == nullptr || valid[i];
+    // non-finite coords count as invalid (mirrors the numpy/device paths)
+    for (int d = 0; d < 3 && ok; ++d) ok = std::isfinite(xyz[3 * i + d]);
+    ok_row[i] = ok;
     for (int d = 0; d < 3; ++d) {
       const float v = ok ? xyz[3 * i + d] : kFar;
       pts[3 * i + d] = v;
@@ -62,7 +66,7 @@ int f3d_morton_pack(const float* xyz, const uint8_t* valid, int n,
   // morton keys (invalid past every real code)
   std::vector<int64_t> key(n);
   for (int i = 0; i < n; ++i) {
-    const bool ok = valid == nullptr || valid[i];
+    const bool ok = ok_row[i];
     if (!ok) {
       key[i] = int64_t(1) << 30;
       continue;

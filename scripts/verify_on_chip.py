@@ -85,7 +85,17 @@ def phase_fps():
     xyz = jnp.asarray(cloud[None, :, :3])
     a = np.asarray(farthest_point_sample_pallas(xyz, 512))
     b = np.asarray(farthest_point_sample_scan(xyz, 512))
-    return {"ok_equal": bool(np.array_equal(a, b))}
+    # tiny-N regression: through the dispatcher (model.init shapes). Mosaic
+    # (2026-08-17 service) fails argmax legalization on a single 128-lane
+    # tile, so fps.py routes N<=128 to the scan — this catches both a
+    # dispatcher regression and a future compiler fix/regression moving
+    # the boundary.
+    from feat3dnet_tpu.ops.fps import farthest_point_sample
+    tiny = jnp.asarray(cloud[None, :64, :3])
+    t = np.asarray(farthest_point_sample(tiny, 32))
+    ts = np.asarray(farthest_point_sample_scan(tiny, 32))
+    return {"ok_equal": bool(np.array_equal(a, b)),
+            "ok_tiny_n": bool(np.array_equal(t, ts))}
 
 
 def phase_batch_group():

@@ -56,3 +56,17 @@ def test_native_large_cloud(rng):
     xyz = rng.rand(120000, 3).astype(np.float32) * np.array(
         [100, 100, 10], np.float32)
     _compare(xyz, None, 2.0, 256)
+
+
+def test_native_matches_numpy_nonfinite(rng):
+    """NaN/inf coords (unsanitized sensor dropout) are treated as invalid
+    points by all builder implementations — without this, NaN comparison
+    semantics diverge between numpy (clip->undefined int cast) and C
+    (fmin/fmax ignore NaN) and the layouts silently differ."""
+    xyz = (rng.rand(400, 3).astype(np.float32) - 0.5) * 20
+    xyz[7, 1] = np.nan
+    xyz[123] = np.inf
+    xyz[200, 0] = -np.inf
+    _compare(xyz, None, 2.0, 64)
+    valid = rng.rand(400) > 0.2
+    _compare(xyz, valid, 2.0, 64)
