@@ -15,14 +15,16 @@ import jax
 import jax.numpy as jnp
 
 
-def main(pipeline_steps: int = 20, compute_dtype: str = "float32"):
+def main(pipeline_steps: int = 20, compute_dtype: str = "float32",
+         steps_per_dispatch: int = 1):
     from feat3dnet_tpu.config import ModelConfig, TrainConfig
     from feat3dnet_tpu.models import Feat3DNet
     from feat3dnet_tpu.train.trainer import init_state, make_train_step
     from feat3dnet_tpu.utils import enable_compilation_cache
 
     from feat3dnet_tpu.data.datagenerator import prefetch
-    from feat3dnet_tpu.train.trainer import make_fused_train_step
+    from feat3dnet_tpu.train.trainer import (make_chained_train_step,
+                                             make_fused_train_step)
 
     enable_compilation_cache()
     cfg = ModelConfig(compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
@@ -56,6 +58,26 @@ def main(pipeline_steps: int = 20, compute_dtype: str = "float32"):
     print(f"pipelined (prefetch-uploaded): {pipeline_steps} steps in {dt:.2f}s "
           f"-> {pipeline_steps / dt:.1f} steps/s")
 
+    spd = steps_per_dispatch
+    if spd > 1:
+        # cli/train --steps_per_dispatch path: k steps scanned inside ONE
+        # executable, ONE (k, 3B, N, 3) upload per dispatch — the per-dispatch
+        # tunnel RTT amortizes over k steps
+        chained = jax.jit(make_chained_train_step(
+            model, tx, cfg.margin, cfg.attention), donate_argnums=0)
+        chunks = [np.stack([batch() for _ in range(spd)])
+                  for _ in range(max(1, pipeline_steps // spd))]
+        state, m_k = chained(state, jnp.asarray(chunks[0]))
+        float(m_k["loss"][-1])            # compile + settle
+        t0 = time.time()
+        for c in prefetch(iter(chunks), depth=2, transform=jax.device_put):
+            state, m_k = chained(state, c)
+        float(m_k["loss"][-1])
+        dt = time.time() - t0
+        n = len(chunks) * spd
+        print(f"chained x{spd} (one dispatch per {spd} steps): {n} steps in "
+              f"{dt:.2f}s -> {n / dt:.1f} steps/s")
+
 
 if __name__ == "__main__":
     import argparse
@@ -64,5 +86,6 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--compute_dtype", default="float32",
                     choices=("float32", "bfloat16"))
+    ap.add_argument("--steps_per_dispatch", type=int, default=1)
     a = ap.parse_args()
-    main(a.steps, a.compute_dtype)
+    main(a.steps, a.compute_dtype, a.steps_per_dispatch)

@@ -82,3 +82,35 @@ def make_fused_dp_train_step(
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )
+
+
+def make_chained_dp_train_step(
+    model: Feat3DNet,
+    tx: optax.GradientTransformation,
+    margin: float,
+    use_attention: bool,
+    mesh: Mesh,
+    augmentations=None,
+    aug_seed: int = 0,
+    axis_name: str = "data",
+    donate_state: bool = True,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
+    """DP version of trainer.make_chained_train_step: ONE (k, 3B, N, >=3)
+    stack of k triplet batches, sharded on the 3B axis, k steps scanned
+    inside one executable (amortizes the per-dispatch tunnel RTT over k
+    steps; XLA still inserts the per-step grad all-reduce inside the scan
+    body). Returns (state, metrics_k) with a leading k axis on every
+    metric leaf."""
+    from feat3dnet_tpu.train.trainer import make_chained_train_step
+
+    step = make_chained_train_step(model, tx, margin, use_attention,
+                                   augmentations=augmentations,
+                                   aug_seed=aug_seed)
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(None, axis_name))
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate_state else (),
+    )

@@ -202,6 +202,40 @@ def make_fused_train_step(
     return step
 
 
+def make_chained_train_step(
+    model: Feat3DNet,
+    tx: optax.GradientTransformation,
+    margin: float,
+    use_attention: bool,
+    augmentations: Optional[tuple] = None,
+    aug_seed: int = 0,
+    remat: bool = False,
+) -> Callable:
+    """k fused steps in ONE dispatch: `step(state, clouds_k)` with clouds_k
+    the (k, 3B, N, >=3) stack of k triplet batches.
+
+    On the remote-tunnel backend every dispatch costs a ~40 ms round-trip,
+    which floors the single-step loop at ~22 steps/s regardless of the
+    27 ms device step. Scanning k steps inside one executable amortizes
+    that RTT over k steps (the reference has no analogue — its sess.run
+    loop is one step per call, train.py:155-184).
+
+    Returns (state, metrics_k): every metric leaf gains a leading k axis,
+    one entry per inner step, so summary cadences finer than k still see
+    exact per-step values. Bit-equal to k sequential fused-step calls:
+    the augmentation key is derived from state.step INSIDE the scan body,
+    so the RNG streams coincide (tested, test_parallel.py).
+    """
+    fused = make_fused_train_step(model, tx, margin, use_attention,
+                                  augmentations=augmentations,
+                                  aug_seed=aug_seed, remat=remat)
+
+    def step(state: TrainState, clouds_k: Array):
+        return jax.lax.scan(fused, state, clouds_k)
+
+    return step
+
+
 class Trainer:
     """Epoch-loop driver: data in, jit step, periodic checkpoint + validation.
 

@@ -73,3 +73,29 @@ def test_train_cli_two_stage_and_infer(tiny_dataset, tmp_path):
                 "--max_keypoints", "16"])
     outs = [f for f in os.listdir(out_dir) if f.endswith(".bin")]
     assert len(outs) == 4
+
+
+def test_train_cli_steps_per_dispatch(tiny_dataset, tmp_path):
+    """--steps_per_dispatch k chains k optimizer steps per device dispatch;
+    per-inner-step metrics must still stream at the summary cadence and the
+    step counter/checkpoint cadence must match the unchained loop."""
+    from feat3dnet_tpu.cli.train import main as train_main
+
+    log_dir = str(tmp_path / "chained")
+    state = train_main([
+        "--data_dir", str(tiny_dataset), "--num_points", "128",
+        "--num_clusters", "8", "--num_samples", "8",
+        "--feature_dim", "16", "--batch_size", "2",
+        "--noattention", "--noregress", "--num_epochs", "2",
+        "--steps_per_dispatch", "2",
+        "--augmentation", "Jitter", "RotateSmall",
+        "--validate_every_n_steps", "2", "--checkpoint_every_n_steps", "2",
+        "--summary_every_n_steps", "1",
+        "--log_dir", log_dir])
+    # 4 anchors / batch 2 = 2 steps per epoch -> one 2-step chunk each
+    assert int(state.step) == 4
+    rows = [json.loads(l) for l in open(os.path.join(log_dir, "metrics.jsonl"))]
+    loss_steps = [r["step"] for r in rows if "loss" in r]
+    assert loss_steps == [1, 2, 3, 4]  # every inner step logged
+    assert any("fp_rate" in r for r in rows)
+    assert os.path.isdir(os.path.join(log_dir, "ckpt"))
