@@ -65,12 +65,15 @@ def make_fused_dp_train_step(
     aug_seed: int = 0,
     axis_name: str = "data",
     donate_state: bool = True,
+    quantized: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """DP version of make_fused_train_step: ONE stacked (3B, N, 3) batch
     array sharded on its leading axis, augmentation + step in one
     executable. Each of the three B-row segments must split across the
     mesh (batch_size divisible by the mesh size), so the triplet split
-    inside the step stays shard-aligned."""
+    inside the step stays shard-aligned. With `quantized`, the batch is
+    the (int16 q, f32 scale) pair from data/quant.quantize_clouds — q
+    sharded, scale replicated."""
     step = make_fused_train_step(model, tx, margin, use_attention,
                                  augmentations=augmentations,
                                  aug_seed=aug_seed)
@@ -78,7 +81,7 @@ def make_fused_dp_train_step(
     batch_sh = NamedSharding(mesh, P(axis_name))
     return jax.jit(
         step,
-        in_shardings=(repl, batch_sh),
+        in_shardings=(repl, (batch_sh, repl) if quantized else batch_sh),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )
@@ -94,13 +97,15 @@ def make_chained_dp_train_step(
     aug_seed: int = 0,
     axis_name: str = "data",
     donate_state: bool = True,
+    quantized: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """DP version of trainer.make_chained_train_step: ONE (k, 3B, N, >=3)
     stack of k triplet batches, sharded on the 3B axis, k steps scanned
     inside one executable (amortizes the per-dispatch tunnel RTT over k
     steps; XLA still inserts the per-step grad all-reduce inside the scan
     body). Returns (state, metrics_k) with a leading k axis on every
-    metric leaf."""
+    metric leaf. With `quantized`, the batch is the ((k, 3B, N, 3) int16,
+    (k,) f32 scales) pair — q sharded on the 3B axis, scales replicated."""
     from feat3dnet_tpu.train.trainer import make_chained_train_step
 
     step = make_chained_train_step(model, tx, margin, use_attention,
@@ -110,7 +115,7 @@ def make_chained_dp_train_step(
     batch_sh = NamedSharding(mesh, P(None, axis_name))
     return jax.jit(
         step,
-        in_shardings=(repl, batch_sh),
+        in_shardings=(repl, (batch_sh, repl) if quantized else batch_sh),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )

@@ -189,7 +189,12 @@ def make_fused_train_step(
     base = make_train_step(model, tx, margin, use_attention, remat=remat)
     core = base._train_core
 
-    def step(state: TrainState, clouds: Array):
+    def step(state: TrainState, clouds):
+        if isinstance(clouds, tuple):
+            # int16 fixed-point upload (data/quant.py): dequantize on
+            # device — XLA fuses the cast+scale into the step prologue
+            q, scale = clouds
+            clouds = q.astype(jnp.float32) * scale
         clouds = clouds[..., :3]
         if augmentations:
             from feat3dnet_tpu.data.augment import augment_clouds

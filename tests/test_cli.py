@@ -87,7 +87,7 @@ def test_train_cli_steps_per_dispatch(tiny_dataset, tmp_path):
         "--num_clusters", "8", "--num_samples", "8",
         "--feature_dim", "16", "--batch_size", "2",
         "--noattention", "--noregress", "--num_epochs", "2",
-        "--steps_per_dispatch", "2",
+        "--steps_per_dispatch", "2", "--upload_quant", "int16",
         "--augmentation", "Jitter", "RotateSmall",
         "--validate_every_n_steps", "2", "--checkpoint_every_n_steps", "2",
         "--summary_every_n_steps", "1",

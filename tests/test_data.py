@@ -166,3 +166,20 @@ def test_augment_chain(rng):
     out = augment_clouds(jax.random.PRNGKey(4), xyz, ("Jitter", "RotateSmall", "Shift", "RotateZ"))
     assert out.shape == xyz.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_quantize_clouds_error_bound(rng):
+    from feat3dnet_tpu.data.quant import quantize_clouds
+
+    x = (rng.rand(18, 256, 3).astype(np.float32) - 0.5) * 80.0  # ±40 m
+    q, scale = quantize_clouds(x)
+    assert q.dtype == np.int16 and scale.dtype == np.float32
+    recon = q.astype(np.float32) * scale
+    # round-to-nearest: worst-case error is half a quantization step, plus
+    # a few f32 ulps of |x| from the divide/multiply roundtrip itself
+    assert np.abs(recon - x).max() <= scale / 2 + np.abs(x).max() * 4e-7
+    # ±40 m at int16 full scale -> ~0.6 mm steps
+    assert scale < 2e-3
+    # degenerate all-zero input must not divide by zero
+    q0, s0 = quantize_clouds(np.zeros((4, 3), np.float32))
+    assert np.all(q0 == 0) and s0 > 0

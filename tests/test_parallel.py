@@ -208,3 +208,44 @@ def test_chained_dp_step_matches_chained_single(rng):
     for x, y in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-3, atol=k * 2e-6)
+
+
+def test_quantized_fused_step_single_and_dp(rng):
+    """int16 upload path: the fused step accepting (q, scale) must land
+    within the quantization perturbation of the f32 step, and the DP
+    variant (q sharded, scale replicated) must match it at the usual DP
+    tolerances."""
+    from feat3dnet_tpu.data.quant import quantize_clouds
+    from feat3dnet_tpu.parallel import make_fused_dp_train_step
+    from feat3dnet_tpu.train.trainer import make_fused_train_step
+
+    model = Feat3DNet(CFG)
+    state, tx = init_state(model, TCFG, CFG, jax.random.PRNGKey(0))
+    stacked = np.concatenate([np.asarray(x) for x in _batch(rng)], axis=0)
+    q, scale = quantize_clouds(stacked)
+
+    single = jax.jit(make_fused_train_step(model, tx, 1.0, CFG.attention))
+    s_f32, m_f32 = single(state, jnp.asarray(stacked))
+    s_q, m_q = single(state, (jnp.asarray(q), jnp.asarray(scale)))
+    # inputs differ by <= scale/2 (~sub-mm at these ranges); the loss must
+    # track within a loose Lipschitz-ish band, params within a few lr
+    np.testing.assert_allclose(float(m_q["loss"]), float(m_f32["loss"]),
+                               rtol=5e-2, atol=1e-3)
+    lr = TCFG.learning_rate
+    for x, y in zip(jax.tree.leaves(s_q.params), jax.tree.leaves(s_f32.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=3 * lr)
+
+    mesh = make_mesh()
+    dp = make_fused_dp_train_step(model, tx, 1.0, CFG.attention, mesh,
+                                  donate_state=False, quantized=True)
+    from jax.sharding import NamedSharding, PartitionSpec
+    batch = jax.device_put(
+        (q, scale), (NamedSharding(mesh, PartitionSpec("data")),
+                     NamedSharding(mesh, PartitionSpec())))
+    s_dp, m_dp = dp(state, batch)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_q["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for x, y in zip(jax.tree.leaves(s_dp.params), jax.tree.leaves(s_q.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=3 * lr)
