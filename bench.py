@@ -68,7 +68,8 @@ def build_cluster_batch():
 def main():
     from feat3dnet_tpu.config import ModelConfig
     from feat3dnet_tpu.models import Feat3DNet
-    from feat3dnet_tpu.ops.fused_describe import folded_weights, fused_describe_clusters
+    from feat3dnet_tpu.ops.fused_describe import (folded_weights,
+                                                  fused_describe_clusters_2d)
 
     cfg = ModelConfig()  # paper config, float32
     model = Feat3DNet(cfg)
@@ -86,7 +87,10 @@ def main():
     @jax.jit
     def bench_step(weights, clusters, seed):
         def body(carry, eps):
-            desc, att = fused_describe_clusters(weights, clusters * (1.0 + eps), cfg)
+            # slot-major fully-2D serving kernel at its measured-optimal
+            # tile (r3 probe sweep: 1.84 M @256 vs 1.82 @64/128, 1.69 @512)
+            desc, att = fused_describe_clusters_2d(
+                weights, clusters * (1.0 + eps), cfg, tile=256)
             return carry + jnp.sum(desc), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0),

@@ -48,10 +48,19 @@ class ClusterDescriptorServer:
                      and bool(self.variables.get("batch_stats")))
         if use_fused:
             from feat3dnet_tpu.ops.fused_describe import (
-                folded_weights, fused_describe_clusters)
+                folded_weights, fused_describe_clusters,
+                fused_describe_clusters_2d)
 
             if self._weights is None:
                 self._weights = folded_weights(self.variables, self.cfg)
+            ns = clusters.shape[1]
+            if ns & (ns - 1) == 0:
+                # slot-major fully-2D kernel: bit-exact vs the rank-3
+                # kernel on-chip, fastest measured variant at tile=256
+                # (r3 probe, benchmarks/probe_flat2d.py)
+                return fused_describe_clusters_2d(
+                    self._weights, jnp.asarray(clusters, jnp.float32),
+                    self.cfg, tile=256)
             return fused_describe_clusters(
                 self._weights, jnp.asarray(clusters, jnp.float32), self.cfg)
         return self._xla_path(self.variables, jnp.asarray(clusters, jnp.float32))

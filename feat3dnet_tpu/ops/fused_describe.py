@@ -206,6 +206,14 @@ def pack_weights_for_plan(weights: List[Array], cfg: ModelConfig,
     return out
 
 
+# NOTE (recorded negative): a stride-2 "tree pool" over the cluster-major
+# flat layout (jnp.maximum(h[0::2], h[1::2]) repeated log2(ns) times) is
+# bit-exact in interpret mode but Mosaic REJECTS strided sublane slicing on
+# the real chip — per-cluster pools in cluster-major layout must stay rank-3
+# maxes. The slot-MAJOR formulation (_kernel_2d below) gets contiguous-half
+# pools (`_half_max`) instead, which Mosaic accepts.
+
+
 def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
             bf16_matmul: bool = False, vpu_k3: bool = False,
             bf16_act: bool = False,
@@ -354,6 +362,188 @@ def _kernel(clusters_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
 
     desc_ref[...] = out
     att_ref[...] = att
+
+
+def _half_max(h, rows_out: int):
+    """Reduce a slot-major (S·G, C) array to (G, C) by maxing contiguous
+    halves: h[:S·G/2] pairs (slot s, group g) with (slot s+S/2, group g).
+    Plain sublane slicing — no strides, no rank-3 reductions for Mosaic to
+    unroll."""
+    while h.shape[0] > rows_out:
+        half = h.shape[0] // 2
+        h = jnp.maximum(h[:half], h[half:])
+    return h
+
+
+def _double_rows(x, reps: int):
+    """Broadcast a (G, C) per-cluster array to slot-major rows (S·G, C) by
+    log2(S) contiguous self-concats — in slot-major layout the cluster→row
+    broadcast is exact block REPETITION, so no one-hot matmul (which would
+    round through bf16 at default MXU precision) and no rank-3 broadcast
+    (which Mosaic unrolls) is needed."""
+    while reps > 1:
+        x = jnp.concatenate([x, x], axis=0)
+        reps //= 2
+    return x
+
+
+def _tourney_min_first(val, idx, rows_out: int):
+    """Per-group lexicographic min over slots of a slot-major (S·G, 1)
+    column: returns the value AND the smallest slot index attaining it
+    (the reference ball query's first-tie nearest fallback). Explicit
+    (val, idx) tie-break at every level — 'prefer top half' alone is not
+    first-index across levels."""
+    while val.shape[0] > rows_out:
+        half = val.shape[0] // 2
+        tv, bv = val[:half], val[half:]
+        ti, bi = idx[:half], idx[half:]
+        take = (tv < bv) | ((tv == bv) & (ti <= bi))
+        val = jnp.where(take, tv, bv)
+        idx = jnp.where(take, ti, bi)
+    return val, idx
+
+
+def _kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
+               bf16_matmul: bool = False, bf16_act: bool = False):
+    """Fully 2-D slot-major formulation of `_kernel` (see
+    fused_describe_clusters_2d). Rows are (slot-major) point rows: row
+    r = slot (r // tc), cluster (r % tc). Every op is a 2-D elementwise,
+    a sublane-half reduction, or a matmul — nothing rank-3 for Mosaic to
+    unroll into per-cluster/per-slot sequential vector ops."""
+    weights = refs[:-2]
+    desc_ref, att_ref = refs[-2], refs[-1]
+    widx = 0
+    act_t = jnp.bfloat16 if bf16_act else jnp.float32
+
+    def next_w():
+        nonlocal widx
+        k, b = weights[widx][...], weights[widx + 1][...]
+        widx += 2
+        if bf16_matmul or bf16_act:
+            k = k.astype(jnp.bfloat16)
+        return k, b
+
+    def mm(a, k):
+        if bf16_matmul or bf16_act:
+            a = a.astype(jnp.bfloat16)
+        return jnp.dot(a, k, preferred_element_type=jnp.float32)
+
+    r2 = jnp.float32(cfg.base_scale) ** 2
+    inv_r = 1.0 / jnp.float32(cfg.base_scale)
+    R = tc * ns
+
+    pts = flat_ref[...].reshape(R, 3)            # slot-major point rows
+    sid = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+           // tc).astype(jnp.float32)                         # slot id/row
+
+    def bcast(x):                                             # (TC, C) -> (R, C)
+        return _double_rows(x, ns)
+
+    # ---- ball-query membership (same algebra as _kernel, row form) ------
+    d2 = jnp.sum(pts * pts, axis=1, keepdims=True)            # (R, 1)
+    in_ball = (d2 < r2).astype(jnp.float32)                   # (R, 1)
+    empty_c = 1.0 - _half_max(in_ball, tc)                    # (TC, 1)
+    _, win_idx = _tourney_min_first(d2, sid, tc)              # (TC, 1)
+    near = (jnp.abs(sid - bcast(win_idx)) < 0.5).astype(jnp.float32)
+    mask_r = jnp.minimum(in_ball + bcast(empty_c) * near, 1.0)  # (R, 1)
+
+    flat_n = pts * inv_r
+
+    # ---- detector tower --------------------------------------------------
+    h = flat_n
+    for _ in range(len(cfg.detector_mlp)):
+        k, b = next_w()
+        h = jnp.maximum(mm(h, k) + b, 0.0).astype(act_t)
+    h = _half_max(h * mask_r.astype(act_t), tc)               # (TC, 256)
+    for _ in range(len(cfg.detector_mlp2)):
+        k, b = next_w()
+        h = jnp.maximum(mm(h, k) + b, 0.0).astype(act_t)
+    ka, ba = next_w()
+    att = jax.nn.softplus(mm(h, ka) + ba)                     # (TC, 1)
+    ko, bo = next_w()
+    ori = mm(h, ko) + bo                                      # (TC, 2)
+    ori = ori * jax.lax.rsqrt(jnp.maximum(jnp.sum(ori * ori, -1, keepdims=True), 1e-8))
+
+    # ---- canonicalize + descriptor tower ---------------------------------
+    c_r = bcast(ori[:, 0:1])                                  # (R, 1)
+    s_r = bcast(ori[:, 1:2])
+    x, y, z = flat_n[:, 0:1], flat_n[:, 1:2], flat_n[:, 2:3]
+    rot = jnp.concatenate([x * c_r - y * s_r, x * s_r + y * c_r, z], axis=1)
+
+    d = rot
+    for _ in range(len(cfg.descriptor_mlp)):
+        k, b = next_w()
+        d = jnp.maximum(mm(d, k) + b, 0.0).astype(act_t)
+    pooled = _half_max(d * mask_r.astype(act_t), tc)          # (TC, C)
+    cat = jnp.concatenate([d, bcast(pooled).astype(act_t)], axis=1)
+    k, b = next_w()                                           # conv_mid_0: BN, NO relu
+    m = mm(cat, k) + b
+    m = jnp.where(mask_r > 0.5, m.astype(act_t), act_t(-1.0e30))
+    m = _half_max(m, tc)                                      # (TC, 128)
+    k, b = next_w()                                           # conv_post_0
+    out = mm(m, k) + b                                        # (TC, D)
+    out = out * jax.lax.rsqrt(jnp.maximum(jnp.sum(out * out, -1, keepdims=True), 1e-8))
+
+    desc_ref[...] = out
+    att_ref[...] = att
+
+
+@partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul", "bf16_act",
+                                   "interpret"))
+def fused_describe_clusters_2d(weights: List[Array], clusters: Array,
+                               cfg: ModelConfig, tile: int = 64,
+                               bf16_matmul: bool = False,
+                               bf16_act: bool = False,
+                               interpret: Optional[bool] = None
+                               ) -> Tuple[Array, Array]:
+    """Fully 2-D slot-major variant of fused_describe_clusters.
+
+    Same contract and (in f32) bit-identical outputs; different internal
+    layout: the tile's rows are SLOT-major ((ns, tile, 3) blocks of the
+    transposed input, flattened along the leading dims), so
+    * per-cluster slot pools are log2(ns) contiguous-HALF sublane maxes
+      (`_half_max`) instead of rank-3 `max(axis=1)` reductions, which
+      Mosaic unrolls into ns sequential per-slot vector maxes;
+    * the first-tie nearest fallback is a stable (val, idx) tournament
+      (`_tourney_min_first`) instead of the (ns, ns) triangular-rank
+      matmul;
+    * cluster→row broadcasts (empty flag, winner index, cos/sin, pooled
+      features) are exact block repetition — log2(ns) contiguous
+      self-concats (`_double_rows`), no matmul rounding, no rank-3
+      broadcasts for Mosaic to unroll.
+    Requires power-of-two ns (the halving/doubling trees).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, ns, _ = clusters.shape
+    assert ns == cfg.num_samples, f"cluster size {ns} != num_samples {cfg.num_samples}"
+    assert ns & (ns - 1) == 0, "slot-major kernel needs power-of-two ns"
+    pad = -b % tile
+    padded = jnp.pad(clusters.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
+    n_tiles = padded.shape[0] // tile
+    slot_major = jnp.transpose(padded, (1, 0, 2))             # (ns, B, 3)
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    desc, att = pl.pallas_call(
+        partial(_kernel_2d, cfg=cfg, tc=tile, ns=ns, bf16_matmul=bf16_matmul,
+                bf16_act=bf16_act),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((ns, tile, 3), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=(
+            pl.BlockSpec((tile, cfg.feature_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((padded.shape[0], cfg.feature_dim), jnp.float32),
+            jax.ShapeDtypeStruct((padded.shape[0], 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(slot_major, *weights)
+    return desc[:b], att[:b, 0]
 
 
 @partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul", "vpu_k3",

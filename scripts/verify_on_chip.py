@@ -12,6 +12,7 @@ XLA/dense reference:
   * hashed:      hashed pipeline extract == chunked-XLA extract (oxford_270)
   * serving:     fused serving kernel vs XLA model path (cosine >= 0.9999),
                  lane-packed == unpacked (bit-exact),
+                 slot-major flat-2D (the default path) == rank-3 (bit-exact),
                  bf16_act cosine >= 0.999
   * compile-time ceilings: each phase runs under an alarm — a kernel that
     stops compiling in bounded time is itself a regression (the Mosaic
@@ -151,7 +152,8 @@ def phase_serving():
     from feat3dnet_tpu.models import Feat3DNet
     from feat3dnet_tpu.ops import ball_query, farthest_point_sample, gather_points, group_points
     from feat3dnet_tpu.ops.fused_describe import (folded_weights,
-                                                  fused_describe_clusters)
+                                                  fused_describe_clusters,
+                                                  fused_describe_clusters_2d)
 
     cloud = load_oxford()
     cfg = ModelConfig()
@@ -173,7 +175,11 @@ def phase_serving():
                                          lane_pack=False)
     d_bf16, _ = fused_describe_clusters(weights, clusters, cfg,
                                         lane_pack=True, bf16_act=True)
-    d_packed, d_plain, d_bf16 = map(np.asarray, (d_packed, d_plain, d_bf16))
+    # the DEFAULT serving path (slot-major fully-2D kernel, tile=256) must
+    # stay bit-exact vs the rank-3 kernel
+    d_2d, _ = fused_describe_clusters_2d(weights, clusters, cfg, tile=256)
+    d_packed, d_plain, d_bf16, d_2d = map(
+        np.asarray, (d_packed, d_plain, d_bf16, d_2d))
 
     def min_cos(a, b):
         na = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
@@ -190,6 +196,7 @@ def phase_serving():
         "ok_vs_model": min_cos(d_plain, ref_desc) >= 0.999,
         "ok_vs_model_bulk": float((cos_all >= 0.9999).mean()) >= 0.99,
         "ok_lane_pack_exact": bool(np.array_equal(d_packed, d_plain)),
+        "ok_flat2d_exact": bool(np.array_equal(d_2d, d_plain)),
         "ok_bf16_cos": min_cos(d_bf16, d_plain) >= 0.999,
         "cos_vs_model": min_cos(d_plain, ref_desc),
         "frac_cos_ge_9999": float((cos_all >= 0.9999).mean()),

@@ -7,7 +7,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from feat3dnet_tpu.config import ModelConfig
 from feat3dnet_tpu.models import Feat3DNet
-from feat3dnet_tpu.ops.fused_describe import folded_weights, fused_describe_clusters
+from feat3dnet_tpu.ops.fused_describe import (folded_weights,
+                                              fused_describe_clusters,
+                                              fused_describe_clusters_2d)
 
 
 def _setup(rng, cfg, b=24):
@@ -111,6 +113,31 @@ def test_lane_pack_bit_exact(rng):
                                          tile=8, lane_pack=False)
         d1, a1 = fused_describe_clusters(weights, jnp.asarray(clusters), cfg,
                                          tile=8, lane_pack=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a0))
+
+
+def test_flat_2d_kernel_bit_exact(rng):
+    """The slot-major fully-2D kernel must be BIT-exact vs the rank-3
+    kernel across the selection branches: in-ball, partial balls,
+    empty-ball nearest fallback, and duplicate-point ties (the stable
+    tournament must pick the FIRST min-distance slot)."""
+    cfg = ModelConfig()                       # full paper widths, ns=64
+    model = Feat3DNet(cfg)
+    clusters = rng.randn(32, cfg.num_samples, 3).astype(np.float32) * 1.5
+    clusters[3] += 30.0                       # empty ball -> fallback
+    clusters[5, 20:] = clusters[5, :44]       # duplicates -> ties
+    clusters[7] = 9.0                         # identical far points -> tie+empty
+    clusters[9, 32:] += 30.0                  # partial ball
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(clusters),
+                           training=False,
+                           keypoints=jnp.zeros((32, 1, 3), jnp.float32))
+    weights = folded_weights(variables, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        d0, a0 = fused_describe_clusters(weights, jnp.asarray(clusters), cfg,
+                                         tile=16)
+        d1, a1 = fused_describe_clusters_2d(weights, jnp.asarray(clusters),
+                                            cfg, tile=16)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a0))
 
