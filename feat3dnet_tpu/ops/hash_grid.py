@@ -429,8 +429,28 @@ _MERGE_SC = 8   # slots routed per MXU matmul
 
 def _merge_block_t(ctrT_ref, pts_ref, ptsT_ref,
                    topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+                   addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
                    *, r2: float, tc: int, L: int, ns: int):
-    """One (center-tile × point-block) step of the transposed exact merge."""
+    """One (center-tile × point-block) step of the transposed exact merge.
+
+    r3 step-cost cuts (all bit-exact, compile-probed on chip):
+      * the two prefix matmuls (in-block candidate rank, occupancy rank)
+        run at DEFAULT matmul precision when their counts fit bf16's exact
+        integer range (<= 256): 0/1 operands are bf16-exact, products are
+        0/1, and the f32 accumulator keeps every partial sum <= 256 exact —
+        only the one-hot PAYLOAD routing needs HIGHEST;
+      * routing chunks are skipped (pl.when) when no candidate lands in
+        their slot range — pays on sparse clouds where the per-step merged
+        positions are a narrow band;
+      * the surviving-entry compaction loops over SHIFT DISTANCE instead of
+        target slot: entry at merged row t comes from buffer row
+        t − occrank[t] (occrank = inclusive prefix of occupancy), so the
+        loop runs only to the step's max shift = max candidates routed into
+        any column — typically a handful — instead of always ns.
+    The routed adds and the shifted survivors accumulate in VMEM scratch
+    (gated pl.when bodies cannot build values), summed into the buffers at
+    the end.
+    """
     pts = pts_ref[...]                                   # (L, 4) x|y|z|orig
     ptsT = ptsT_ref[...]                                 # (8, L) x|y|z|k|1|0…
     ctrT = ctrT_ref[...]                                 # (8, tc)
@@ -444,6 +464,10 @@ def _merge_block_t(ctrT_ref, pts_ref, ptsT_ref,
     worst = topk_ref[ns - 1:ns, :]                       # (1, tc)
     can_add = jnp.min(key, axis=0, keepdims=True) < worst
 
+    # exact at DEFAULT precision iff every count fits bf16's integer range
+    rank_prec = None if L <= 256 else jax.lax.Precision.HIGHEST
+    occ_prec = None if ns <= 256 else jax.lax.Precision.HIGHEST
+
     @pl.when(jnp.any(can_add))
     def _merge():
         ib = in_ball.astype(jnp.float32)
@@ -452,7 +476,7 @@ def _merge_block_t(ctrT_ref, pts_ref, ptsT_ref,
                >= jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
                ).astype(jnp.float32)
         rank_b = jnp.dot(tri, ib, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=rank_prec)
 
         topx = topx_ref[...]                             # (ns, tc)
         topy = topy_ref[...]
@@ -465,61 +489,85 @@ def _merge_block_t(ctrT_ref, pts_ref, ptsT_ref,
                 topk[s:s + 1, :] < key).astype(jnp.float32)
         pos_b = jnp.where(in_ball, smaller_top + rank_b, 0.0)   # (L, tc)
 
-        # candidate routing + occupancy, SC slots per matmul
-        xs, ys, zs, ks, os_ = [], [], [], [], []
+        # positions that actually land (pos > ns fell off the buffer)
+        pos_r = jnp.where(pos_b <= ns, pos_b, 0.0)
+        pmax = jnp.max(pos_r)
+        pmin = jnp.min(jnp.where(pos_r > 0.0, pos_r, jnp.float32(ns + 1)))
+
+        addx_ref[...] = jnp.zeros((ns, tc), jnp.float32)
+        addy_ref[...] = jnp.zeros((ns, tc), jnp.float32)
+        addz_ref[...] = jnp.zeros((ns, tc), jnp.float32)
+        addk_ref[...] = jnp.zeros((ns, tc), jnp.float32)
+        occ_ref[...] = jnp.zeros((ns, tc), jnp.float32)
+
+        # candidate routing + occupancy, SC slots per matmul; chunks with
+        # no landing candidate are skipped entirely
         for s0 in range(0, ns, _MERGE_SC):
             sc = min(_MERGE_SC, ns - s0)
-            cols = [(jnp.abs(pos_b - (s0 + q + 1.0)) < 0.5
-                     ).astype(jnp.float32) for q in range(sc)]
-            p_mat = jnp.concatenate(cols, axis=1) if sc > 1 else cols[0]
-            chunk = jnp.dot(ptsT, p_mat,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)  # (8, sc·tc)
-            for q in range(sc):
-                sl = slice(q * tc, (q + 1) * tc)
-                xs.append(chunk[0:1, sl])
-                ys.append(chunk[1:2, sl])
-                zs.append(chunk[2:3, sl])
-                ks.append(chunk[3:4, sl])
-                os_.append(chunk[4:5, sl])
-        addx = jnp.concatenate(xs, axis=0)               # (ns, tc)
-        addy = jnp.concatenate(ys, axis=0)
-        addz = jnp.concatenate(zs, axis=0)
-        addk = jnp.concatenate(ks, axis=0)
-        occ = jnp.concatenate(os_, axis=0)               # 1 where a
-                                                         # candidate landed
 
-        # buffer entry s -> the (s+1)-th free merged slot (prefix via MXU)
+            @pl.when((pmax >= s0 + 1.0) & (pmin <= s0 + sc + 0.0))
+            def _route(s0=s0, sc=sc):
+                cols = [(jnp.abs(pos_b - (s0 + q + 1.0)) < 0.5
+                         ).astype(jnp.float32) for q in range(sc)]
+                p_mat = jnp.concatenate(cols, axis=1) if sc > 1 else cols[0]
+                chunk = jnp.dot(ptsT, p_mat,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)  # (8, sc·tc)
+
+                def rows(p):
+                    return jnp.concatenate(
+                        [chunk[p:p + 1, q * tc:(q + 1) * tc]
+                         for q in range(sc)], axis=0)    # (sc, tc)
+
+                addx_ref[s0:s0 + sc, :] = rows(0)
+                addy_ref[s0:s0 + sc, :] = rows(1)
+                addz_ref[s0:s0 + sc, :] = rows(2)
+                addk_ref[s0:s0 + sc, :] = rows(3)
+                occ_ref[s0:s0 + sc, :] = rows(4)
+
+        occ = occ_ref[...]                               # 1 where a
+                                                         # candidate landed
         free = 1.0 - occ                                 # (ns, tc)
+        # merged row t keeps buffer row t − occrank[t] (inclusive prefix of
+        # occupancy = how many candidates landed at or above t)
         tri_ns = (jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 0)
                   >= jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 1)
                   ).astype(jnp.float32)
-        freerank = jnp.dot(tri_ns, free,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # (ns, tc)
-        keptx = jnp.zeros((ns, tc), jnp.float32)
-        kepty = jnp.zeros((ns, tc), jnp.float32)
-        keptz = jnp.zeros((ns, tc), jnp.float32)
-        keptk = jnp.zeros((ns, tc), jnp.float32)
-        for s in range(ns):
-            m = free * (jnp.abs(freerank - (s + 1.0)) < 0.5
-                        ).astype(jnp.float32)            # (ns, tc)
-            keptx = keptx + topx[s:s + 1, :] * m
-            kepty = kepty + topy[s:s + 1, :] * m
-            keptz = keptz + topz[s:s + 1, :] * m
-            keptk = keptk + topk[s:s + 1, :] * m
+        occrank = jnp.dot(tri_ns, occ,
+                          preferred_element_type=jnp.float32,
+                          precision=occ_prec)            # (ns, tc)
+        dmax = jnp.max(occrank * free)                   # max shift needed
+        sel0 = free * (occrank < 0.5).astype(jnp.float32)
+        addx_ref[...] = addx_ref[...] + topx * sel0
+        addy_ref[...] = addy_ref[...] + topy * sel0
+        addz_ref[...] = addz_ref[...] + topz * sel0
+        addk_ref[...] = addk_ref[...] + topk * sel0
+        for d in range(1, ns):
+            @pl.when(dmax >= jnp.float32(d))
+            def _shift(d=d):
+                sel = free[d:, :] * (jnp.abs(occrank[d:, :] - d) < 0.5
+                                     ).astype(jnp.float32)   # (ns−d, tc)
+                z = jnp.zeros((d, tc), jnp.float32)
+
+                def sh(t):
+                    return jnp.concatenate([z, t[:ns - d] * sel], axis=0)
+
+                addx_ref[...] = addx_ref[...] + sh(topx)
+                addy_ref[...] = addy_ref[...] + sh(topy)
+                addz_ref[...] = addz_ref[...] + sh(topz)
+                addk_ref[...] = addk_ref[...] + sh(topk)
         # sentinel keys (_BIG) routed past the fill level keep their value
-        # through keptk, so no restore pass is needed (unrouted slots only
-        # occur past ns and are dropped)
-        topx_ref[...] = keptx + addx
-        topy_ref[...] = kepty + addy
-        topz_ref[...] = keptz + addz
-        topk_ref[...] = keptk + addk
+        # through the shifted survivors, so no restore pass is needed
+        topx_ref[...] = addx_ref[...]
+        topy_ref[...] = addy_ref[...]
+        topz_ref[...] = addz_ref[...]
+        topk_ref[...] = addk_ref[...]
         cnt_ref[0:1, :] = cnt_ref[0:1, :] + jnp.sum(ib, axis=0, keepdims=True)
 
 
 def _bq_kernel_t(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
                  topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+                 addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
                  *, r2: float, tc: int, L: int, ns: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -535,7 +583,9 @@ def _bq_kernel_t(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
     @pl.when(hit)
     def _process():
         _merge_block_t(ctrT_ref, pts_ref, ptsT_ref, topx_ref, topy_ref,
-                       topz_ref, topk_ref, cnt_ref, r2=r2, tc=tc, L=L, ns=ns)
+                       topz_ref, topk_ref, cnt_ref,
+                       addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
+                       r2=r2, tc=tc, L=L, ns=ns)
 
 
 @partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
@@ -592,6 +642,8 @@ def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
+        scratch_shapes=[pltpu.VMEM((ns, tc), jnp.float32)
+                        for _ in range(5)],
         interpret=interpret,
     )(hitmask, ctrT, sc_pts4, ptsT_ext)
 
@@ -1080,6 +1132,7 @@ def _bq_csr_raw(sc_pts4: Array, centers: Array, tile_of: Array, blk_of: Array,
 
 def _bq_csr_kernel_t(tile_of, blk_of, ctrT_ref, pts_ref, ptsT_ref,
                      topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+                     addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
                      *, r2: float, tc: int, L: int, ns: int):
     k = pl.program_id(0)
     t = tile_of[k]
@@ -1091,7 +1144,9 @@ def _bq_csr_kernel_t(tile_of, blk_of, ctrT_ref, pts_ref, ptsT_ref,
                               cnt_ref, tc, ns)
 
     _merge_block_t(ctrT_ref, pts_ref, ptsT_ref, topx_ref, topy_ref,
-                   topz_ref, topk_ref, cnt_ref, r2=r2, tc=tc, L=L, ns=ns)
+                   topz_ref, topk_ref, cnt_ref,
+                   addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
+                   r2=r2, tc=tc, L=L, ns=ns)
 
 
 @partial(jax.jit, static_argnames=("radius", "nsample", "block_size", "tile",
@@ -1139,6 +1194,8 @@ def _bq_csr_raw_t(sc_pts4: Array, centers: Array, tile_of: Array,
                           memory_space=pltpu.VMEM) for _ in range(4)]
             + [pl.BlockSpec((8, tc), lambda k, tof, bof: (tof[k], 0),
                             memory_space=pltpu.VMEM)]),
+        scratch_shapes=[pltpu.VMEM((ns, tc), jnp.float32)
+                        for _ in range(5)],
     )
     topx, topy, topz, topk, cnt = pl.pallas_call(
         partial(_bq_csr_kernel_t, r2=r2, tc=tc, L=L, ns=ns),
