@@ -33,10 +33,15 @@ def main():
     orig = bg.use_fused_ball_query
 
     remat_only = "--remat-only" in sys.argv
-    variants = ([("dense", False, False), ("dense+remat", False, True)]
+    # (label, fused_bq, trainer_full_remat, model_remat_towers)
+    variants = ([("dense", False, False, False),
+                 ("dense+remat", False, True, False),
+                 ("dense+rtowers", False, False, True)]
                 if remat_only else
-                [("fused", True, False), ("dense", False, False),
-                 ("dense+remat", False, True)])
+                [("fused", True, False, False),
+                 ("dense", False, False, False),
+                 ("dense+remat", False, True, False),
+                 ("dense+rtowers", False, False, True)])
 
     for dtype_name, dtype in (("float32", jnp.float32),
                               ("bfloat16", jnp.bfloat16)):
@@ -44,8 +49,10 @@ def main():
         model = Feat3DNet(cfg)
         state, tx = init_state(model, tcfg, cfg, jax.random.PRNGKey(0))
 
-        for label, enabled, remat in variants:
-            step = make_fused_train_step(model, tx, cfg.margin,
+        for label, enabled, remat, rtowers in variants:
+            mcfg = (ModelConfig(compute_dtype=dtype, remat_towers=True)
+                    if rtowers else cfg)
+            step = make_fused_train_step(Feat3DNet(mcfg), tx, cfg.margin,
                                          cfg.attention, remat=remat)
             # force the kernel past its opt-in env gate for the A/B (the
             # shape checks still apply); plain `orig` would measure dense

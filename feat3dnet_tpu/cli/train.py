@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--remat_towers", action="store_true",
+                   help="rematerialize the per-point tower segments in the "
+                        "backward instead of saving their (…, ns, C) "
+                        "activations — bit-exact; trades recompute for "
+                        "HBM, for memory-constrained / large-batch runs")
     return p
 
 
@@ -110,7 +115,8 @@ def main(argv=None):
         num_samples=args.num_samples, feature_dim=args.feature_dim,
         attention=not args.noattention, regress_orientation=not args.noregress,
         margin=args.margin,
-        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32)
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
+        remat_towers=args.remat_towers)
     tcfg = TrainConfig(
         batch_size=args.batch_size, num_points=args.num_points,
         learning_rate=args.learning_rate, num_epochs=args.num_epochs,

@@ -31,6 +31,13 @@ class ModelConfig:
       compute_dtype: dtype for MLP matmuls. float32 matches the reference
         bit-for-bit; bfloat16 doubles MXU throughput at ~1e-3 descriptor
         cosine error (still far below matching thresholds).
+      remat_towers: rematerialize the per-point tower segments (pre-pool
+        convs, the widest training activations — (3B, M, ns, 256) alone is
+        600 MB at paper shapes) in the backward pass instead of saving
+        them. Bit-exact (tested); trades tower recompute FLOPs for ~GBs of
+        saved-activation HBM traffic. Measured per-shape — see
+        BENCHMARKS.md; unlike the trainer-level full remat, the grouping
+        and pools stay saved.
     """
 
     num_clusters: int = 512
@@ -44,6 +51,7 @@ class ModelConfig:
     bn_momentum: float = 0.9          # reference EMA decay (layers.py:251)
     bn_epsilon: float = 1e-3          # reference tf.nn.batch_normalization eps (layers.py:271)
     compute_dtype: Any = jnp.float32
+    remat_towers: bool = False
 
     # MLP widths (reference feat3dnet.py:278-301). Descriptor mlp2 widens to
     # [256] when feature_dim > 64, matching feat3dnet.py:300.

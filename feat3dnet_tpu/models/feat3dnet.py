@@ -117,9 +117,20 @@ class Detector(nn.Module):
             f, use_bn=cfg.use_bn, dtype=cfg.compute_dtype,
             bn_momentum=cfg.bn_momentum, bn_epsilon=cfg.bn_epsilon,
             bn_axis_name=self.bn_axis_name, name=name)
-        for i, f in enumerate(cfg.detector_mlp):
-            x = conv(f, f"conv{i}")(x, training)
-        x = jnp.max(x, axis=2, keepdims=True)                      # pool over samples
+
+        def per_point(mdl, h):
+            # pre-pool segment: the (…, ns, 256) activations here are the
+            # training step's dominant saved-residual traffic; under
+            # cfg.remat_towers the backward recomputes them from the small
+            # grouped input instead (nn.remat preserves submodule names,
+            # so checkpoints are unaffected)
+            for i, f in enumerate(cfg.detector_mlp):
+                h = conv(f, f"conv{i}")(h, training)
+            return jnp.max(h, axis=2, keepdims=True)   # pool over samples
+
+        if cfg.remat_towers and training:
+            per_point = nn.remat(per_point)
+        x = per_point(self, x)
         for i, f in enumerate(cfg.detector_mlp2):
             x = conv(f, f"conv_post_{i}")(x, training)
 
@@ -150,22 +161,30 @@ class Descriptor(nn.Module):
             bn_momentum=cfg.bn_momentum, bn_epsilon=cfg.bn_epsilon,
             bn_axis_name=self.bn_axis_name, name=name)
 
-        x = grouped.astype(cfg.compute_dtype)
-        for i, f in enumerate(cfg.descriptor_mlp):
-            x = conv(f, f"conv{i}", nn.relu)(x, training)
+        def per_point(mdl, h):
+            # pre-pool segment (see Detector.per_point): point-wise convs,
+            # slot pool, [pointwise ⊕ pooled] concat, mid convs, final
+            # slot pool — input (…, ns, 3) and output (…, 1, C) are small,
+            # everything between is per-point and remat-able
+            for i, f in enumerate(cfg.descriptor_mlp):
+                h = conv(f, f"conv{i}", nn.relu)(h, training)
 
-        pooled = jnp.max(x, axis=2, keepdims=True)
-        pooled = jnp.broadcast_to(pooled, x.shape[:2] + (x.shape[2], pooled.shape[-1]))
-        x = jnp.concatenate([x, pooled], axis=-1)
+            pooled = jnp.max(h, axis=2, keepdims=True)
+            pooled = jnp.broadcast_to(
+                pooled, h.shape[:2] + (h.shape[2], pooled.shape[-1]))
+            h = jnp.concatenate([h, pooled], axis=-1)
 
-        # final_relu=False in the reference descriptor (feat3dnet.py:182):
-        # the LAST layer of mlp2 and of mlp3 has BN but no activation.
-        mlp2 = cfg.descriptor_mlp2
-        for i, f in enumerate(mlp2):
-            act = nn.relu if i < len(mlp2) - 1 else None
-            x = conv(f, f"conv_mid_{i}", act)(x, training)
+            # final_relu=False in the reference descriptor (feat3dnet.py:182):
+            # the LAST layer of mlp2 and of mlp3 has BN but no activation.
+            mlp2 = cfg.descriptor_mlp2
+            for i, f in enumerate(mlp2):
+                act = nn.relu if i < len(mlp2) - 1 else None
+                h = conv(f, f"conv_mid_{i}", act)(h, training)
+            return jnp.max(h, axis=2, keepdims=True)
 
-        x = jnp.max(x, axis=2, keepdims=True)
+        if cfg.remat_towers and training:
+            per_point = nn.remat(per_point)
+        x = per_point(self, grouped.astype(cfg.compute_dtype))
 
         mlp3 = cfg.descriptor_mlp3
         for i, f in enumerate(mlp3):

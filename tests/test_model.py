@@ -159,3 +159,35 @@ def test_bfloat16_compute_dtype(rng):
     a, b = np.asarray(out32.features), np.asarray(out16.features)
     cos = np.sum(a * b, -1)
     assert np.mean(cos > 0.98) > 0.9
+
+
+def test_remat_towers_bit_exact(rng):
+    """cfg.remat_towers must be BIT-exact vs the baseline: same loss, same
+    grads, same batch_stats (nn.remat recomputes the per-point tower
+    segments in the backward, it must not change any value), and the param
+    tree structure must be unchanged (checkpoint compatibility)."""
+    from feat3dnet_tpu.train.trainer import make_train_step, make_optimizer, TrainState
+    import optax
+
+    cfg0 = SMALL
+    cfg1 = ModelConfig(**{**SMALL.__dict__, "remat_towers": True})
+    m0, m1 = Feat3DNet(cfg0), Feat3DNet(cfg1)
+    clouds = rng.randn(6, 128, 3).astype(np.float32)
+    v = m0.init(jax.random.PRNGKey(0), jnp.asarray(clouds[:3]), training=False)
+    v1 = m1.init(jax.random.PRNGKey(0), jnp.asarray(clouds[:3]), training=True)
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(v1["params"]))
+
+    tx = make_optimizer(1e-3)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
+                       batch_stats=v["batch_stats"], opt_state=tx.init(v["params"]))
+    a = jnp.asarray(clouds[0:2])
+    p = jnp.asarray(clouds[2:4])
+    n = jnp.asarray(clouds[4:6])
+    s0, met0 = jax.jit(make_train_step(m0, tx, cfg0.margin, cfg0.attention))(state, a, p, n)
+    s1, met1 = jax.jit(make_train_step(m1, tx, cfg1.margin, cfg1.attention))(state, a, p, n)
+    assert float(met0["loss"]) == float(met1["loss"])
+    for x, y in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(s0.batch_stats), jax.tree.leaves(s1.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
