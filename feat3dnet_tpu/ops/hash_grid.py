@@ -257,6 +257,15 @@ def _block_hitmask(tbox: Array, blk_bbox: Array, r2: float) -> Array:
         axis=-1).astype(jnp.int32)                           # (Ti, NBW)
 
 
+# NOTE (recorded negative): restricting each tile's in-kernel block loop
+# to its per-tile [first-hit, last-hit) range (computed like
+# _block_hitmask; would cut loop iterations ~4.5× at 120k) requires
+# DYNAMIC fori_loop bounds from SMEM — Mosaic's while-loop lowering of a
+# dynamic-bound fori made the remote compile exceed 9+ minutes (static
+# 0..nb bounds compile in ~7 s). Static bounds + per-iteration bit test
+# are the shipped form.
+
+
 def _init_merge_buffers(topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                         tc: int, ns: int):
     topx_ref[...] = jnp.zeros((tc, ns), jnp.float32)
@@ -427,11 +436,13 @@ def _init_merge_buffers_t(topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
 _MERGE_SC = 8   # slots routed per MXU matmul
 
 
-def _merge_block_t(ctrT_ref, pts_ref, ptsT_ref,
+def _merge_block_t(ctrT, pts, ptsT,
                    topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                    addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
                    *, r2: float, tc: int, L: int, ns: int):
     """One (center-tile × point-block) step of the transposed exact merge.
+    ctrT/pts/ptsT are VALUES (the fori-loop kernel slices them out of
+    VMEM-resident whole-cloud refs; the grid kernels load their blocks).
 
     r3 step-cost cuts (all bit-exact, compile-probed on chip):
       * the two prefix matmuls (in-block candidate rank, occupancy rank)
@@ -451,9 +462,6 @@ def _merge_block_t(ctrT_ref, pts_ref, ptsT_ref,
     (gated pl.when bodies cannot build values), summed into the buffers at
     the end.
     """
-    pts = pts_ref[...]                                   # (L, 4) x|y|z|orig
-    ptsT = ptsT_ref[...]                                 # (8, L) x|y|z|k|1|0…
-    ctrT = ctrT_ref[...]                                 # (8, tc)
     d2 = jnp.zeros((L, tc), jnp.float32)
     for d in range(3):
         dd = pts[:, d:d + 1] - ctrT[d:d + 1, :]
@@ -582,8 +590,8 @@ def _bq_kernel_t(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
 
     @pl.when(hit)
     def _process():
-        _merge_block_t(ctrT_ref, pts_ref, ptsT_ref, topx_ref, topy_ref,
-                       topz_ref, topk_ref, cnt_ref,
+        _merge_block_t(ctrT_ref[...], pts_ref[...], ptsT_ref[...],
+                       topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                        addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
                        r2=r2, tc=tc, L=L, ns=ns)
 
@@ -646,6 +654,124 @@ def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                         for _ in range(5)],
         interpret=interpret,
     )(hitmask, ctrT, sc_pts4, ptsT_ext)
+
+    def untranspose(plane):                              # (tiles·ns, tc)
+        return jnp.swapaxes(plane.reshape(tiles, ns, tc), 1, 2).reshape(
+            mp, ns)[:m]
+
+    top = jnp.stack([untranspose(topx), untranspose(topy),
+                     untranspose(topz), untranspose(topk)], axis=-1)
+    cnt_rows = cnt.reshape(tiles, 8, tc)[:, 0].reshape(mp)[:m]
+    return top, cnt_rows
+
+
+# ---------------------------------------------------------------------------
+# fori-loop merge driver. The (tiles × blocks) grid pays a fixed
+# sequencing/branch cost PER STEP even when the hit bit is clear — measured
+# 124 ms of the 216 ms merge at 120k points (262,144 steps, ~0.47 µs each,
+# zero useful work). At extraction scale the whole sorted cloud is tiny
+# (48 B/point → 6 MB at 131k), so this driver keeps it VMEM-resident,
+# runs grid=(tiles,) only, and loops blocks INSIDE the kernel
+# (lax.fori_loop + dynamic multiple-of-8 sublane slices) — the per-block
+# skip becomes a scalar branch instead of a grid step. Falls back to the
+# 2-D grid driver above when the cloud exceeds the VMEM budget.
+# ---------------------------------------------------------------------------
+
+_FORI_MAX_POINTS = 524288    # 48 B/point → 24 MB of the 100 MB VMEM cap
+
+
+def _bq_kernel_t_fori(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
+                      topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+                      addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
+                      *, r2: float, tc: int, L: int, ns: int, nb: int):
+    i = pl.program_id(0)
+    _init_merge_buffers_t(topx_ref, topy_ref, topz_ref, topk_ref,
+                          cnt_ref, tc, ns)
+    ctrT = ctrT_ref[...]
+
+    def body(j, carry):
+        word = hit_ref[i, j // 32]
+        hit = ((word >> (j % 32)) & 1) == 1
+
+        @pl.when(hit)
+        def _process():
+            pts = pts_ref[pl.ds(j * L, L), :]            # (L, 4)
+            ptsT = ptsT_ref[pl.ds(j * 8, 8), :]          # (8, L) block-major
+            _merge_block_t(ctrT, pts, ptsT,
+                           topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
+                           addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
+                           r2=r2, tc=tc, L=L, ns=ns)
+
+        return carry
+
+    # static bounds only: dynamic SMEM-fed bounds blow up the Mosaic
+    # compile (see the recorded negative above _init_merge_buffers)
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
+def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
+                          radius: float, nsample: int, tile: int = 128,
+                          interpret: Optional[bool] = None):
+    """Whole-cloud-in-VMEM fori-loop driver — same contract (and bit-equal
+    outputs) as _bq_sorted_raw_t."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m = centers.shape[0]
+    np_ = sc_pts4.shape[0]
+    nb = sc_blk_bbox.shape[0]
+    L = np_ // nb
+    ns = nsample
+    tc = tile
+    pad = -m % tc
+    centers_p = jnp.pad(centers.astype(jnp.float32), ((0, pad), (0, 0)),
+                        constant_values=_FAR_CENTER)
+    mp = m + pad
+    tiles = mp // tc
+    r2 = float(radius) ** 2
+    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
+    ctrT = jnp.concatenate(
+        [centers_p.T, jnp.zeros((5, mp), jnp.float32)], axis=0)   # (8, Mp)
+    ptsT_ext = jnp.concatenate(
+        [sc_pts4.T, jnp.ones((1, np_), jnp.float32),
+         jnp.zeros((3, np_), jnp.float32)], axis=0)               # (8, Np)
+    # block-major payload rows so the in-kernel block slice is a
+    # multiple-of-8 SUBLANE slice (dynamic lane slicing is restricted)
+    ptsT_blocks = ptsT_ext.reshape(8, nb, L).transpose(1, 0, 2).reshape(
+        nb * 8, L)
+
+    def _plane_spec():
+        return pl.BlockSpec((ns, tc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    topx, topy, topz, topk, cnt = pl.pallas_call(
+        partial(_bq_kernel_t_fori, r2=r2, tc=tc, L=L, ns=ns, nb=nb),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tc), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # whole cloud
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # block-major rows
+        ],
+        out_specs=(
+            _plane_spec(), _plane_spec(), _plane_spec(), _plane_spec(),
+            pl.BlockSpec((8, tc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles * ns, tc), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * ns, tc), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * ns, tc), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * ns, tc), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * 8, tc), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        scratch_shapes=[pltpu.VMEM((ns, tc), jnp.float32)
+                        for _ in range(5)],
+        interpret=interpret,
+    )(hitmask, ctrT, sc_pts4, ptsT_blocks)
 
     def untranspose(plane):                              # (tiles·ns, tc)
         return jnp.swapaxes(plane.reshape(tiles, ns, tc), 1, 2).reshape(
@@ -745,7 +871,13 @@ def ball_query_grouped_sorted(
       idx: (M, ns) int32 original point indices (0 where the ball is empty).
       cnt: (M,) int32 in-ball counts capped at ns (reference pts_cnt).
     """
-    raw = _bq_sorted_raw_t if _USE_TRANSPOSED_MERGE else _bq_sorted_raw
+    if _USE_TRANSPOSED_MERGE:
+        # fori driver (blocks looped in-kernel, whole cloud VMEM-resident)
+        # when the cloud fits the VMEM budget; 2-D grid driver otherwise
+        raw = (_bq_sorted_raw_t_fori
+               if sc.pts4.shape[0] <= _FORI_MAX_POINTS else _bq_sorted_raw_t)
+    else:
+        raw = _bq_sorted_raw
     top, cnt_raw = raw(sc.pts4, sc.blk_bbox, centers,
                        float(radius), nsample, tile=tile,
                        interpret=interpret)
@@ -804,7 +936,30 @@ def _ballmax_kernel(hit_ref, ctr_ref, pts_ref, max_ref, *,
 
     @pl.when(hit)
     def _process():
-        _ballmax_block(ctr_ref, pts_ref, max_ref, r2=r2, tc=tc, L=L)
+        _ballmax_block(ctr_ref, pts_ref[...], max_ref, r2=r2, tc=tc, L=L)
+
+
+def _ballmax_kernel_fori(hit_ref, ctr_ref, pts_ref, max_ref, *,
+                         r2: float, tc: int, L: int, nb: int):
+    """grid=(tiles,) variant: blocks looped in-kernel over the
+    VMEM-resident cloud (see the fori merge driver — the 2-D grid pays
+    ~0.5 µs of sequencing per step even for culled blocks). Static loop
+    bounds only — dynamic bounds blow up the Mosaic compile."""
+    i = pl.program_id(0)
+    _init_ballmax(ctr_ref, max_ref, tc)
+
+    def body(j, carry):
+        word = hit_ref[i, j // 32]
+        hit = ((word >> (j % 32)) & 1) == 1
+
+        @pl.when(hit)
+        def _process():
+            _ballmax_block(ctr_ref, pts_ref[pl.ds(j * L, L), :], max_ref,
+                           r2=r2, tc=tc, L=L)
+
+        return carry
+
+    jax.lax.fori_loop(0, nb, body, 0)
 
 
 def _init_ballmax(ctr_ref, max_ref, tc: int):
@@ -817,10 +972,10 @@ def _init_ballmax(ctr_ref, max_ref, tc: int):
     max_ref[...] = jnp.where(is_pad, _BIG, -_BIG).astype(jnp.float32)
 
 
-def _ballmax_block(ctr_ref, pts_ref, max_ref, *, r2: float, tc: int, L: int):
+def _ballmax_block(ctr_ref, pts, max_ref, *, r2: float, tc: int, L: int):
     """One (center-tile × point-block) step of the running ball max,
-    shared by the dense-grid and CSR kernels (identical outputs)."""
-    pts = pts_ref[...]                                       # (L, 4)
+    shared by the dense-grid, CSR, and fori kernels (identical outputs).
+    pts is a VALUE (L, 4)."""
     # exact whole-block skip: the block cannot raise any center's
     # running max unless its value maximum beats the tile's lowest max
     vals = pts[:, 3:4].reshape(1, L)
@@ -884,6 +1039,29 @@ def ball_max_sorted(sc_pts4: Array, sc_blk_bbox: Array, values: Array,
     hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
     pts4v = jnp.concatenate(
         [sc_pts4[:, :3], values.astype(jnp.float32)[:, None]], axis=1)
+
+    if np_ <= _FORI_MAX_POINTS:
+        # whole cloud VMEM-resident, blocks looped in-kernel (the 2-D grid
+        # pays per-step sequencing even for culled blocks — see the fori
+        # merge driver)
+        out = pl.pallas_call(
+            partial(_ballmax_kernel_fori, r2=r2, tc=tc, L=L, nb=nb),
+            grid=(mp // tc,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tc, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # whole cloud
+            ],
+            out_specs=pl.BlockSpec((tc, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(hitmask, ctr4, pts4v)
+        return out[:m, 0]
 
     out = pl.pallas_call(
         partial(_ballmax_kernel, r2=r2, tc=tc, L=L),
@@ -1143,8 +1321,8 @@ def _bq_csr_kernel_t(tile_of, blk_of, ctrT_ref, pts_ref, ptsT_ref,
         _init_merge_buffers_t(topx_ref, topy_ref, topz_ref, topk_ref,
                               cnt_ref, tc, ns)
 
-    _merge_block_t(ctrT_ref, pts_ref, ptsT_ref, topx_ref, topy_ref,
-                   topz_ref, topk_ref, cnt_ref,
+    _merge_block_t(ctrT_ref[...], pts_ref[...], ptsT_ref[...],
+                   topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                    addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
                    r2=r2, tc=tc, L=L, ns=ns)
 
@@ -1248,7 +1426,7 @@ def _ballmax_csr_kernel(tile_of, blk_of, ctr_ref, pts_ref, max_ref,
     def _init():
         _init_ballmax(ctr_ref, max_ref, tc)
 
-    _ballmax_block(ctr_ref, pts_ref, max_ref, r2=r2, tc=tc, L=L)
+    _ballmax_block(ctr_ref, pts_ref[...], max_ref, r2=r2, tc=tc, L=L)
 
 
 @partial(jax.jit, static_argnames=("radius", "block_size", "tile",

@@ -398,3 +398,29 @@ def test_transposed_merge_matches_original(rng):
                                   tile=32, interpret=True)
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_fori_merge_matches_grid(rng):
+    """The fori-loop driver (blocks looped in-kernel over the VMEM-resident
+    cloud) must reproduce the 2-D-grid transposed driver's RAW buffers
+    bit-for-bit — same coords/keys/counts, sentinels included — across
+    saturated hotspots, invalid points, and both saturating and
+    non-saturating ns."""
+    from feat3dnet_tpu.ops.hash_grid import (_bq_sorted_raw_t,
+                                             _bq_sorted_raw_t_fori,
+                                             sort_centers)
+
+    n = 600
+    xyz = (rng.rand(n, 3).astype(np.float32) - 0.5) * 12
+    xyz[:200] = xyz[:1] + rng.randn(200, 3).astype(np.float32) * 0.5
+    valid = rng.rand(n) > 0.15
+    sc = build_sorted_cloud(jnp.asarray(xyz), jnp.asarray(valid),
+                            cell_size=1.5, block_size=64)
+    ctr, _ = sort_centers(jnp.asarray(xyz[:160]))
+    for ns in (8, 16):
+        t0, c0 = _bq_sorted_raw_t(sc.pts4, sc.blk_bbox, ctr, 1.5, ns,
+                                  tile=32, interpret=True)
+        t1, c1 = _bq_sorted_raw_t_fori(sc.pts4, sc.blk_bbox, ctr, 1.5, ns,
+                                       tile=32, interpret=True)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
