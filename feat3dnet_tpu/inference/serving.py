@@ -57,10 +57,13 @@ class ClusterDescriptorServer:
             if ns & (ns - 1) == 0:
                 # slot-major fully-2D kernel: bit-exact vs the rank-3
                 # kernel on-chip, fastest measured variant at tile=256
-                # (r3 probe, benchmarks/probe_flat2d.py)
+                # (r3 probe, benchmarks/probe_flat2d.py). Small batches
+                # take tile=64 — a 32-cluster call padded to a 256 tile
+                # would spend 87% of the tower matmuls on padding
+                b = clusters.shape[0]
                 return fused_describe_clusters_2d(
                     self._weights, jnp.asarray(clusters, jnp.float32),
-                    self.cfg, tile=256)
+                    self.cfg, tile=256 if b >= 256 else 64)
             return fused_describe_clusters(
                 self._weights, jnp.asarray(clusters, jnp.float32), self.cfg)
         return self._xla_path(self.variables, jnp.asarray(clusters, jnp.float32))

@@ -596,6 +596,41 @@ def _bq_kernel_t(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
                        r2=r2, tc=tc, L=L, ns=ns)
 
 
+def _merge_prologue_t(sc_pts4, sc_blk_bbox, centers, radius, tc):
+    """Shared transposed-driver prologue: tile-pad centers (_FAR_CENTER
+    sentinels), hitmask, and the transposed payload assemblies. Returns
+    (m, mp, tiles, nb, L, r2, hitmask, ctrT (8, Mp), ptsT_ext (8, Np))."""
+    m = centers.shape[0]
+    np_ = sc_pts4.shape[0]
+    nb = sc_blk_bbox.shape[0]
+    L = np_ // nb
+    pad = -m % tc
+    centers_p = jnp.pad(centers.astype(jnp.float32), ((0, pad), (0, 0)),
+                        constant_values=_FAR_CENTER)
+    mp = m + pad
+    r2 = float(radius) ** 2
+    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
+    ctrT = jnp.concatenate(
+        [centers_p.T, jnp.zeros((5, mp), jnp.float32)], axis=0)
+    ptsT_ext = jnp.concatenate(
+        [sc_pts4.T, jnp.ones((1, np_), jnp.float32),
+         jnp.zeros((3, np_), jnp.float32)], axis=0)
+    return m, mp, mp // tc, nb, L, r2, hitmask, ctrT, ptsT_ext
+
+
+def _merge_epilogue_t(topx, topy, topz, topk, cnt, tiles, ns, tc, mp, m):
+    """Shared transposed-driver epilogue: un-transpose the (tiles·ns, tc)
+    planes to (M, ns, 4) buffers + extract the cnt payload row."""
+    def untranspose(plane):
+        return jnp.swapaxes(plane.reshape(tiles, ns, tc), 1, 2).reshape(
+            mp, ns)[:m]
+
+    top = jnp.stack([untranspose(topx), untranspose(topy),
+                     untranspose(topz), untranspose(topk)], axis=-1)
+    cnt_rows = cnt.reshape(tiles, 8, tc)[:, 0].reshape(mp)[:m]
+    return top, cnt_rows
+
+
 @partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
 def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                      radius: float, nsample: int, tile: int = 128,
@@ -603,24 +638,10 @@ def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
     """Transposed-merge driver — same contract as _bq_sorted_raw."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    m = centers.shape[0]
-    np_ = sc_pts4.shape[0]
-    L = np_ // sc_blk_bbox.shape[0]
     ns = nsample
     tc = tile
-    pad = -m % tc
-    centers_p = jnp.pad(centers.astype(jnp.float32), ((0, pad), (0, 0)),
-                        constant_values=_FAR_CENTER)
-    mp = m + pad
-    tiles = mp // tc
-    nb = sc_blk_bbox.shape[0]
-    r2 = float(radius) ** 2
-    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
-    ctrT = jnp.concatenate(
-        [centers_p.T, jnp.zeros((5, mp), jnp.float32)], axis=0)   # (8, Mp)
-    ptsT_ext = jnp.concatenate(
-        [sc_pts4.T, jnp.ones((1, np_), jnp.float32),
-         jnp.zeros((3, np_), jnp.float32)], axis=0)               # (8, Np)
+    m, mp, tiles, nb, L, r2, hitmask, ctrT, ptsT_ext = _merge_prologue_t(
+        sc_pts4, sc_blk_bbox, centers, radius, tc)
 
     def _plane_spec():
         return pl.BlockSpec((ns, tc), lambda i, j: (i, 0),
@@ -654,15 +675,8 @@ def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                         for _ in range(5)],
         interpret=interpret,
     )(hitmask, ctrT, sc_pts4, ptsT_ext)
-
-    def untranspose(plane):                              # (tiles·ns, tc)
-        return jnp.swapaxes(plane.reshape(tiles, ns, tc), 1, 2).reshape(
-            mp, ns)[:m]
-
-    top = jnp.stack([untranspose(topx), untranspose(topy),
-                     untranspose(topz), untranspose(topk)], axis=-1)
-    cnt_rows = cnt.reshape(tiles, 8, tc)[:, 0].reshape(mp)[:m]
-    return top, cnt_rows
+    return _merge_epilogue_t(topx, topy, topz, topk, cnt,
+                             tiles, ns, tc, mp, m)
 
 
 # ---------------------------------------------------------------------------
@@ -717,24 +731,10 @@ def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
     outputs) as _bq_sorted_raw_t."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    m = centers.shape[0]
-    np_ = sc_pts4.shape[0]
-    nb = sc_blk_bbox.shape[0]
-    L = np_ // nb
     ns = nsample
     tc = tile
-    pad = -m % tc
-    centers_p = jnp.pad(centers.astype(jnp.float32), ((0, pad), (0, 0)),
-                        constant_values=_FAR_CENTER)
-    mp = m + pad
-    tiles = mp // tc
-    r2 = float(radius) ** 2
-    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
-    ctrT = jnp.concatenate(
-        [centers_p.T, jnp.zeros((5, mp), jnp.float32)], axis=0)   # (8, Mp)
-    ptsT_ext = jnp.concatenate(
-        [sc_pts4.T, jnp.ones((1, np_), jnp.float32),
-         jnp.zeros((3, np_), jnp.float32)], axis=0)               # (8, Np)
+    m, mp, tiles, nb, L, r2, hitmask, ctrT, ptsT_ext = _merge_prologue_t(
+        sc_pts4, sc_blk_bbox, centers, radius, tc)
     # block-major payload rows so the in-kernel block slice is a
     # multiple-of-8 SUBLANE slice (dynamic lane slicing is restricted)
     ptsT_blocks = ptsT_ext.reshape(8, nb, L).transpose(1, 0, 2).reshape(
@@ -772,15 +772,8 @@ def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                         for _ in range(5)],
         interpret=interpret,
     )(hitmask, ctrT, sc_pts4, ptsT_blocks)
-
-    def untranspose(plane):                              # (tiles·ns, tc)
-        return jnp.swapaxes(plane.reshape(tiles, ns, tc), 1, 2).reshape(
-            mp, ns)[:m]
-
-    top = jnp.stack([untranspose(topx), untranspose(topy),
-                     untranspose(topz), untranspose(topk)], axis=-1)
-    cnt_rows = cnt.reshape(tiles, 8, tc)[:, 0].reshape(mp)[:m]
-    return top, cnt_rows
+    return _merge_epilogue_t(topx, topy, topz, topk, cnt,
+                             tiles, ns, tc, mp, m)
 
 
 @partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
@@ -855,6 +848,7 @@ _USE_TRANSPOSED_MERGE = _os.environ.get("F3D_MERGE_T", "1") != "0"
 def ball_query_grouped_sorted(
     sc: SortedCloud, centers: Array, radius: float, nsample: int,
     tile: int = 128, interpret: Optional[bool] = None,
+    max_fori_points: Optional[int] = None,
 ) -> Tuple[Array, Array, Array]:
     """Exact grouped ball query against a Morton-sorted cloud.
 
@@ -871,11 +865,14 @@ def ball_query_grouped_sorted(
       idx: (M, ns) int32 original point indices (0 where the ball is empty).
       cnt: (M,) int32 in-ball counts capped at ns (reference pts_cnt).
     """
+    if max_fori_points is None:
+        max_fori_points = _FORI_MAX_POINTS
     if _USE_TRANSPOSED_MERGE:
         # fori driver (blocks looped in-kernel, whole cloud VMEM-resident)
         # when the cloud fits the VMEM budget; 2-D grid driver otherwise
+        # (max_fori_points=0 forces it — coverage in tests and the gate)
         raw = (_bq_sorted_raw_t_fori
-               if sc.pts4.shape[0] <= _FORI_MAX_POINTS else _bq_sorted_raw_t)
+               if sc.pts4.shape[0] <= max_fori_points else _bq_sorted_raw_t)
     else:
         raw = _bq_sorted_raw
     top, cnt_raw = raw(sc.pts4, sc.blk_bbox, centers,
@@ -993,11 +990,13 @@ def _ballmax_block(ctr_ref, pts, max_ref, *, r2: float, tc: int, L: int):
                                    jnp.max(neigh, axis=1, keepdims=True))
 
 
-@partial(jax.jit, static_argnames=("radius", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("radius", "tile", "interpret",
+                                   "max_fori_points"))
 def ball_max_sorted(sc_pts4: Array, sc_blk_bbox: Array, values: Array,
                     radius: float, tile: int = 512,
                     interpret: Optional[bool] = None,
-                    centers: Optional[Array] = None) -> Array:
+                    centers: Optional[Array] = None,
+                    max_fori_points: Optional[int] = None) -> Array:
     """Per center, the max of `values` over its radius ball.
 
     This is the NMS primitive: a point is a keypoint iff its attention
@@ -1040,10 +1039,13 @@ def ball_max_sorted(sc_pts4: Array, sc_blk_bbox: Array, values: Array,
     pts4v = jnp.concatenate(
         [sc_pts4[:, :3], values.astype(jnp.float32)[:, None]], axis=1)
 
-    if np_ <= _FORI_MAX_POINTS:
+    if max_fori_points is None:
+        max_fori_points = _FORI_MAX_POINTS
+    if np_ <= max_fori_points:
         # whole cloud VMEM-resident, blocks looped in-kernel (the 2-D grid
         # pays per-step sequencing even for culled blocks — see the fori
-        # merge driver)
+        # merge driver); max_fori_points=0 forces the 2-D grid driver
+        # (large-cloud path coverage in tests and the on-chip gate)
         out = pl.pallas_call(
             partial(_ballmax_kernel_fori, r2=r2, tc=tc, L=L, nb=nb),
             grid=(mp // tc,),

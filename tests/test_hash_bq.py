@@ -424,3 +424,23 @@ def test_fori_merge_matches_grid(rng):
                                        tile=32, interpret=True)
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_ball_max_grid_matches_fori(rng):
+    """The large-cloud 2-D-grid ball-max driver must stay bit-equal to the
+    fori driver (the default below _FORI_MAX_POINTS) — without this,
+    routing by cloud size would leave the grid path untested."""
+    from feat3dnet_tpu.ops.hash_grid import ball_max_sorted
+
+    n, radius = 600, 1.5
+    xyz = _clouds(rng, n, spread=12.0, clusters=3)
+    valid = rng.rand(n) > 0.15
+    att = (rng.rand(n).astype(np.float32) + 0.01)
+    sc = build_sorted_cloud(jnp.asarray(xyz), jnp.asarray(valid),
+                            cell_size=radius, block_size=64)
+    att_sorted = jnp.asarray(att)[sc.orig_idx]
+    bm_fori = ball_max_sorted(sc.pts4, sc.blk_bbox, att_sorted, radius,
+                              tile=32)
+    bm_grid = ball_max_sorted(sc.pts4, sc.blk_bbox, att_sorted, radius,
+                              tile=32, max_fori_points=0)
+    np.testing.assert_array_equal(np.asarray(bm_grid), np.asarray(bm_fori))
