@@ -147,6 +147,40 @@ def phase_hashed_extract():
             "num_keypoints": int(hashed.num_keypoints)}
 
 
+def phase_merge_drivers():
+    """fori (default) vs 2-D-grid drivers for the merge and the NMS
+    ball-max, bit-compared ON CHIP (the size-routed grid path is otherwise
+    only exercised above 524k points)."""
+    from feat3dnet_tpu.ops.hash_grid import (SortedCloud, ball_max_sorted,
+                                             ball_query_grouped_sorted,
+                                             build_sorted_cloud_host)
+
+    cloud = load_oxford()
+    n = cloud.shape[0]
+    valid = np.ones(n, bool)
+    sc = build_sorted_cloud_host(cloud[:, :3], valid, cell_size=2.0,
+                                 block_size=256)
+    pts4 = jnp.asarray(sc.pts4)
+    bbox = jnp.asarray(sc.blk_bbox)
+    scd = SortedCloud(pts4=pts4, blk_bbox=bbox, orig_idx=None,
+                      inv_perm=None, block_size=0)
+    g0, i0, c0 = ball_query_grouped_sorted(scd, pts4[:, :3], 2.0, 64,
+                                           tile=256)
+    g1, i1, c1 = ball_query_grouped_sorted(scd, pts4[:, :3], 2.0, 64,
+                                           tile=256, max_fori_points=0)
+    att = jnp.abs(pts4[:, 0]) % 7.0 + 0.1
+    b0 = ball_max_sorted(pts4, bbox, att, 0.5)
+    b1 = ball_max_sorted(pts4, bbox, att, 0.5, max_fori_points=0)
+    return {
+        "ok_merge_equal": bool(
+            np.array_equal(np.asarray(g0), np.asarray(g1))
+            and np.array_equal(np.asarray(i0), np.asarray(i1))
+            and np.array_equal(np.asarray(c0), np.asarray(c1))),
+        "ok_ballmax_equal": bool(np.array_equal(np.asarray(b0),
+                                                np.asarray(b1))),
+    }
+
+
 def phase_serving():
     from feat3dnet_tpu.config import ModelConfig
     from feat3dnet_tpu.models import Feat3DNet
@@ -221,6 +255,7 @@ def main():
     run_phase(results, "fps", phase_fps)
     run_phase(results, "batch_group", phase_batch_group)
     run_phase(results, "hashed_extract", phase_hashed_extract)
+    run_phase(results, "merge_drivers", phase_merge_drivers)
     run_phase(results, "serving", phase_serving)
     ok = all(v.get("ok", False) for k, v in results.items()
              if isinstance(v, dict))
