@@ -323,7 +323,7 @@ class InferencePipeline:
                                      block_size=0)
                     grouped, _, _ = ball_query_grouped_sorted(
                         sc, centers_sorted, r, ns, tile=tc)
-                att_s, _ = core.detector_on_grouped(
+                att_s, ori_s = core.detector_on_grouped(
                     variables, grouped, centers_sorted)
                 # NMS survival on the sorted layout: a point survives iff
                 # its attention ties the ball max (same >= rule as
@@ -338,16 +338,41 @@ class InferencePipeline:
                                               float(icfg.nms_radius))
                 is_max = (att_s >= ballmax)[inv_perm]
                 att = att_s[inv_perm]
-                kp, kp_att, num = select_keypoints(
+                kp, kp_att, num, kp_idx = select_keypoints(
                     cloud, att[None, :], is_max[None, :],
                     icfg.max_keypoints, icfg.min_response_ratio,
-                    valid_mask=valid_mask)
-                kp1, feats, kp_att1, num1 = describe(
-                    variables, cloud, valid_mask, kp, kp_att, num)
+                    valid_mask=valid_mask, return_indices=True)
+                # Descriptor pass WITHOUT a second ball query: the NMS
+                # keypoints are cloud points, so their radius-2.0
+                # neighborhoods (and detector orientations) were already
+                # computed by the attention pass — gather them from the
+                # sorted layout instead of re-grouping against the whole
+                # cloud (bit-exact: the hashed grouping is index-exact vs
+                # the dense ball query model.apply would run, and the
+                # gathered ori_s equals the detector re-run on the same
+                # clusters). Reference analogue: pass 2's re-feed of the
+                # NMS keypoints, inference.py:169-171 — the re-grouping
+                # there is an artifact of the placeholder graph, not a
+                # semantic requirement.
+                # inv_perm maps ORIGINAL index -> sorted row (cloud above is
+                # pts4[inv_perm]), so it converts kp_idx directly.
+                kp_s = inv_perm[kp_idx[0]]                   # sorted-domain idx
+                normalized_kp = (grouped[kp_s]
+                                 - centers_sorted[kp_s][:, None, :]) / r
+                if self.mcfg.regress_orientation:
+                    from feat3dnet_tpu.models.feat3dnet import _rotate_z
+
+                    normalized_kp = _rotate_z(normalized_kp[None],
+                                              ori_s[kp_s][None])
+                else:
+                    normalized_kp = normalized_kp[None]
+                feats = self.model.apply(
+                    variables, normalized_kp, training=False,
+                    method=Feat3DNet.describe_clusters)[0]
                 # one flat f32 download buffer — see _host_sort_packed
                 return jnp.concatenate([
-                    kp1.ravel(), feats.ravel(), kp_att1.ravel(),
-                    num1.astype(jnp.float32)[None]])
+                    kp[0].ravel(), feats.ravel(), kp_att[0].ravel(),
+                    num.astype(jnp.float32)])
 
             def unpack(out):
                 kp = out[:k_max * 3].reshape(k_max, 3)

@@ -404,12 +404,22 @@ def _tourney_min_first(val, idx, rows_out: int):
 
 
 def _kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
-               bf16_matmul: bool = False, bf16_act: bool = False):
+               bf16_matmul: bool = False, bf16_act: bool = False,
+               hoist_mask: bool = False):
     """Fully 2-D slot-major formulation of `_kernel` (see
     fused_describe_clusters_2d). Rows are (slot-major) point rows: row
     r = slot (r // tc), cluster (r % tc). Every op is a 2-D elementwise,
     a sublane-half reduction, or a matmul — nothing rank-3 for Mosaic to
-    unroll into per-cluster/per-slot sequential vector ops."""
+    unroll into per-cluster/per-slot sequential vector ops.
+
+    hoist_mask: the in-ball/nearest-fallback mask arrives as a second
+    input (computed by XLA outside — it depends only on the points, not
+    the weights) and flat_ref is already radius-normalized. Saves the
+    whole membership chain (~25 ops on (R, 1) columns, each padded to a
+    full 128-lane vreg) from the kernel's VPU stream; bit-exact (the mask
+    is the same 0.0/1.0 values either way)."""
+    if hoist_mask:
+        mask_ref, refs = refs[0], refs[1:]
     weights = refs[:-2]
     desc_ref, att_ref = refs[-2], refs[-1]
     widx = 0
@@ -432,22 +442,26 @@ def _kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
     inv_r = 1.0 / jnp.float32(cfg.base_scale)
     R = tc * ns
 
-    pts = flat_ref[...].reshape(R, 3)            # slot-major point rows
-    sid = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-           // tc).astype(jnp.float32)                         # slot id/row
-
     def bcast(x):                                             # (TC, C) -> (R, C)
         return _double_rows(x, ns)
 
-    # ---- ball-query membership (same algebra as _kernel, row form) ------
-    d2 = jnp.sum(pts * pts, axis=1, keepdims=True)            # (R, 1)
-    in_ball = (d2 < r2).astype(jnp.float32)                   # (R, 1)
-    empty_c = 1.0 - _half_max(in_ball, tc)                    # (TC, 1)
-    _, win_idx = _tourney_min_first(d2, sid, tc)              # (TC, 1)
-    near = (jnp.abs(sid - bcast(win_idx)) < 0.5).astype(jnp.float32)
-    mask_r = jnp.minimum(in_ball + bcast(empty_c) * near, 1.0)  # (R, 1)
+    if hoist_mask:
+        flat_n = flat_ref[...].reshape(R, 3)   # already radius-normalized
+        mask_r = mask_ref[...].reshape(R, 1)
+    else:
+        pts = flat_ref[...].reshape(R, 3)      # slot-major point rows
+        sid = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+               // tc).astype(jnp.float32)                     # slot id/row
 
-    flat_n = pts * inv_r
+        # ---- ball-query membership (same algebra as _kernel, row form) --
+        d2 = jnp.sum(pts * pts, axis=1, keepdims=True)        # (R, 1)
+        in_ball = (d2 < r2).astype(jnp.float32)               # (R, 1)
+        empty_c = 1.0 - _half_max(in_ball, tc)                # (TC, 1)
+        _, win_idx = _tourney_min_first(d2, sid, tc)          # (TC, 1)
+        near = (jnp.abs(sid - bcast(win_idx)) < 0.5).astype(jnp.float32)
+        mask_r = jnp.minimum(in_ball + bcast(empty_c) * near, 1.0)  # (R, 1)
+
+        flat_n = pts * inv_r
 
     # ---- detector tower --------------------------------------------------
     h = flat_n
@@ -489,11 +503,12 @@ def _kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
 
 
 @partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul", "bf16_act",
-                                   "interpret"))
+                                   "hoist_mask", "interpret"))
 def fused_describe_clusters_2d(weights: List[Array], clusters: Array,
                                cfg: ModelConfig, tile: int = 64,
                                bf16_matmul: bool = False,
                                bf16_act: bool = False,
+                               hoist_mask: bool = False,
                                interpret: Optional[bool] = None
                                ) -> Tuple[Array, Array]:
     """Fully 2-D slot-major variant of fused_describe_clusters.
@@ -512,6 +527,18 @@ def fused_describe_clusters_2d(weights: List[Array], clusters: Array,
       self-concats (`_double_rows`), no matmul rounding, no rank-3
       broadcasts for Mosaic to unroll.
     Requires power-of-two ns (the halving/doubling trees).
+
+    hoist_mask: the in-ball/nearest-fallback mask and the radius
+    normalization — pure functions of the points — are computed by XLA
+    OUTSIDE the kernel and fed in, so the kernel's VPU stream keeps only
+    the tower work. Bit-exact vs hoist_mask=False: the mask is the same
+    0.0/1.0 values (strict `d2 < r²` compare; `argmin` first-tie == the
+    in-kernel tournament's first-tie), and the scale multiply is the
+    identical op either way. MEASURED NEGATIVE on-chip at paper shapes
+    (benchmarks/probe_hoist.py, interleaved A/B: 1.82 vs 1.92 M desc/s
+    at tile 128, slower at every tile — the extra (ns, tile, 1) stream
+    + XLA prep outweigh the removed ~25 column ops), so OFF by default;
+    kept for configs where the membership chain dominates (tiny towers).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -521,15 +548,31 @@ def fused_describe_clusters_2d(weights: List[Array], clusters: Array,
     pad = -b % tile
     padded = jnp.pad(clusters.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
     n_tiles = padded.shape[0] // tile
+
+    extra_in, extra_specs = [], []
+    if hoist_mask:
+        r2 = jnp.float32(cfg.base_scale) ** 2
+        d2 = jnp.sum(padded * padded, axis=-1)                # (B, ns)
+        in_ball = d2 < r2                                     # (B, ns)
+        empty = ~jnp.any(in_ball, axis=1, keepdims=True)      # (B, 1)
+        win = jnp.argmin(d2, axis=1)                          # first min (B,)
+        near = jax.lax.broadcasted_iota(
+            jnp.int32, d2.shape, 1) == win[:, None]           # (B, ns)
+        mask = (in_ball | (empty & near)).astype(jnp.float32)
+        mask_sm = jnp.transpose(mask)[:, :, None]             # (ns, B, 1)
+        extra_in = [mask_sm]
+        extra_specs = [pl.BlockSpec((ns, tile, 1), lambda i: (0, i, 0),
+                                    memory_space=pltpu.VMEM)]
+        padded = padded * (1.0 / jnp.float32(cfg.base_scale))
     slot_major = jnp.transpose(padded, (1, 0, 2))             # (ns, B, 3)
 
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
     desc, att = pl.pallas_call(
         partial(_kernel_2d, cfg=cfg, tc=tile, ns=ns, bf16_matmul=bf16_matmul,
-                bf16_act=bf16_act),
+                bf16_act=bf16_act, hoist_mask=hoist_mask),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((ns, tile, 3), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM)] + w_specs,
+                               memory_space=pltpu.VMEM)] + extra_specs + w_specs,
         out_specs=(
             pl.BlockSpec((tile, cfg.feature_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -542,7 +585,7 @@ def fused_describe_clusters_2d(weights: List[Array], clusters: Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(slot_major, *weights)
+    )(slot_major, *extra_in, *weights)
     return desc[:b], att[:b, 0]
 
 

@@ -98,13 +98,19 @@ def select_keypoints(
     max_keypoints: int,
     min_response_ratio: float = 1e-2,
     valid_mask: Optional[Array] = None,
-) -> Tuple[Array, Array, Array]:
+    return_indices: bool = False,
+):
     """Keypoint selection given a precomputed radius-max survival mask.
 
     Shared tail of nms_keypoints: response-ratio floor, top-k by attention
     (ties → lower index, matching the reference's stable sort), pad-with-
     strongest. `is_max` may come from the dense streamed max above or from
     the spatially-pruned ops.hash_grid.ball_max_sorted kernel.
+
+    return_indices: additionally return the selected point indices
+    (B, max_keypoints) int32 — pad slots repeat index 0's selection, same
+    as the coordinates. Lets callers gather per-point data (precomputed
+    neighborhoods, orientations) for the selected keypoints.
     """
     att = attention
     if valid_mask is not None:
@@ -128,4 +134,6 @@ def select_keypoints(
     top_att = jnp.where(valid_slot, top_att, top_att[:, :1])
 
     kp_xyz = jnp.take_along_axis(xyz, top_idx[..., None], axis=-2)
+    if return_indices:
+        return kp_xyz, top_att, num, top_idx
     return kp_xyz, top_att, num

@@ -138,8 +138,15 @@ def test_flat_2d_kernel_bit_exact(rng):
                                          tile=16)
         d1, a1 = fused_describe_clusters_2d(weights, jnp.asarray(clusters),
                                             cfg, tile=16)
+        # hoisted-mask variant (off by default — measured slower on chip —
+        # but kept): the XLA-side mask must reproduce the in-kernel
+        # membership chain bit for bit across the same branches
+        d2, a2 = fused_describe_clusters_2d(weights, jnp.asarray(clusters),
+                                            cfg, tile=16, hoist_mask=True)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a0))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(a0))
 
 
 def test_plan_packs_pass_counts():
