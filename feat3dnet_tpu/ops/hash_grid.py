@@ -913,37 +913,55 @@ def sort_centers(centers: Array, valid: Optional[Array] = None,
     return c[order], order
 
 
-def _ballmax_kernel(hit_ref, ctr_ref, pts_ref, max_ref, *,
-                    r2: float, tc: int, L: int):
+def _ballmax_kernel(hit_ref, ctr_ref, ptsT_ref, out_ref, scr_ref, *,
+                    r2: float, tc: int, L: int, nb: int):
     """Running max of a per-point value over each center's radius ball.
 
-    pts channel 3 carries the VALUE (e.g. detector attention) instead of
+    ptsT row 3 carries the VALUE (e.g. detector attention) instead of
     the original index. Invalid/pad points sit at +1e9 so they can never
     enter a real center's ball — no value masking needed.
+
+    Memory-layout constraints (found on chip — newer compile-service
+    versions allocate the whole custom-call result, and any whole-array
+    VMEM operand, in scoped VMEM with T(8,128) tile padding):
+      * the result must be lane-clean: an (Mp, 1) column output pads
+        128× (64 MiB at 131k centers) → the per-tile max is emitted as
+        row 0 of an (8, tc) block into a (tiles·8, tc) output;
+      * the fori variant's VMEM-resident cloud must be lane-clean: an
+        (Np, 4) array pads 32× → points arrive as the merge drivers'
+        block-major transposed payload (nb·8, L), rows x/y/z/val.
+    The running max accumulates as a (tc, 1) scratch column (its VMEM
+    padding is one tile, 256 KB) and is transposed to the output row
+    once per tile by an identity matmul (exact: 0/1 multiplicands and
+    single-nonzero-addend sums are exact in f32 at HIGHEST precision).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        _init_ballmax(ctr_ref, max_ref, tc)
+        _init_ballmax(ctr_ref, scr_ref)
 
     word = hit_ref[i, j // 32]
     hit = ((word >> (j % 32)) & 1) == 1
 
     @pl.when(hit)
     def _process():
-        _ballmax_block(ctr_ref, pts_ref[...], max_ref, r2=r2, tc=tc, L=L)
+        _ballmax_block(ctr_ref, ptsT_ref[...], scr_ref, r2=r2, tc=tc, L=L)
+
+    @pl.when(j == nb - 1)
+    def _finalize():
+        _finish_ballmax(scr_ref, out_ref, tc)
 
 
-def _ballmax_kernel_fori(hit_ref, ctr_ref, pts_ref, max_ref, *,
+def _ballmax_kernel_fori(hit_ref, ctr_ref, ptsT_ref, out_ref, scr_ref, *,
                          r2: float, tc: int, L: int, nb: int):
     """grid=(tiles,) variant: blocks looped in-kernel over the
     VMEM-resident cloud (see the fori merge driver — the 2-D grid pays
     ~0.5 µs of sequencing per step even for culled blocks). Static loop
     bounds only — dynamic bounds blow up the Mosaic compile."""
     i = pl.program_id(0)
-    _init_ballmax(ctr_ref, max_ref, tc)
+    _init_ballmax(ctr_ref, scr_ref)
 
     def body(j, carry):
         word = hit_ref[i, j // 32]
@@ -951,43 +969,57 @@ def _ballmax_kernel_fori(hit_ref, ctr_ref, pts_ref, max_ref, *,
 
         @pl.when(hit)
         def _process():
-            _ballmax_block(ctr_ref, pts_ref[pl.ds(j * L, L), :], max_ref,
+            _ballmax_block(ctr_ref, ptsT_ref[pl.ds(j * 8, 8), :], scr_ref,
                            r2=r2, tc=tc, L=L)
 
         return carry
 
     jax.lax.fori_loop(0, nb, body, 0)
+    _finish_ballmax(scr_ref, out_ref, tc)
 
 
-def _init_ballmax(ctr_ref, max_ref, tc: int):
+def _init_ballmax(ctr_ref, scr_ref):
     """Sentinel centers (tile padding at _FAR_CENTER, invalid points at
     _FAR) never receive an in-ball value, so a -_BIG init would pin
-    jnp.min(max_ref) at -1e30 for their tiles and permanently defeat the
+    jnp.min(scr_ref) at -1e30 for their tiles and permanently defeat the
     whole-block value skip there. Initialize them to +_BIG instead — they
     are sliced off / masked out of every output path anyway."""
     is_pad = ctr_ref[...][:, 0:1] >= 5.0e8                   # (tc, 1)
-    max_ref[...] = jnp.where(is_pad, _BIG, -_BIG).astype(jnp.float32)
+    scr_ref[...] = jnp.where(is_pad, _BIG, -_BIG).astype(jnp.float32)
 
 
-def _ballmax_block(ctr_ref, pts, max_ref, *, r2: float, tc: int, L: int):
+def _ballmax_block(ctr_ref, ptsT, scr_ref, *, r2: float, tc: int, L: int):
     """One (center-tile × point-block) step of the running ball max,
     shared by the dense-grid, CSR, and fori kernels (identical outputs).
-    pts is a VALUE (L, 4)."""
+    ptsT is a VALUE (8, L) transposed block: rows x/y/z/val."""
     # exact whole-block skip: the block cannot raise any center's
     # running max unless its value maximum beats the tile's lowest max
-    vals = pts[:, 3:4].reshape(1, L)
+    vals = ptsT[3:4, :]                                      # (1, L)
     blkmax = jnp.max(vals)
 
-    @pl.when(blkmax > jnp.min(max_ref[...]))
+    @pl.when(blkmax > jnp.min(scr_ref[...]))
     def _scan_block():
         ctr = ctr_ref[...]                                   # (TC, 4)
         d2 = jnp.zeros((tc, L), jnp.float32)
         for d in range(3):
-            dd = ctr[:, d:d + 1] - pts[:, d:d + 1].reshape(1, L)
+            dd = ctr[:, d:d + 1] - ptsT[d:d + 1, :]          # (TC, L)
             d2 = d2 + dd * dd
-        neigh = jnp.where(d2 < r2, vals, -_BIG)
-        max_ref[...] = jnp.maximum(max_ref[...],
+        neigh = jnp.where(d2 < r2, vals, -_BIG)              # (TC, L)
+        scr_ref[...] = jnp.maximum(scr_ref[...],
                                    jnp.max(neigh, axis=1, keepdims=True))
+
+
+def _finish_ballmax(scr_ref, out_ref, tc: int):
+    """Transpose the accumulated (tc, 1) max column to the (8, tc) output
+    block: row = colᵀ·I via one MXU pass. Bit-exact at HIGHEST precision
+    (the bf16x3 split of a f32 is exact; ×1.0 and single-nonzero sums
+    round nowhere)."""
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 1)
+             ).astype(jnp.float32)
+    row = jax.lax.dot_general(scr_ref[...], ident, (((0,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)  # (1, tc)
+    out_ref[...] = jnp.broadcast_to(row, out_ref.shape)
 
 
 @partial(jax.jit, static_argnames=("radius", "tile", "interpret",
@@ -1031,13 +1063,29 @@ def ball_max_sorted(sc_pts4: Array, sc_blk_bbox: Array, values: Array,
     centers_p = jnp.pad(centers, ((0, pad), (0, 0)),
                         constant_values=_FAR_CENTER)
     mp = m + pad
+    tiles = mp // tc
     ctr4 = jnp.concatenate(
         [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
     nb = sc_blk_bbox.shape[0]
     r2 = float(radius) ** 2
     hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
-    pts4v = jnp.concatenate(
-        [sc_pts4[:, :3], values.astype(jnp.float32)[:, None]], axis=1)
+    # block-major transposed payload (rows x/y/z/val per block) — lane-clean
+    # under T(8,128) so the fori variant can keep the whole cloud VMEM-
+    # resident without the 32× (Np, 4) lane padding (see _ballmax_kernel)
+    ptsT = jnp.concatenate(
+        [sc_pts4[:, :3].T, values.astype(jnp.float32)[None, :],
+         jnp.zeros((4, np_), jnp.float32)], axis=0)          # (8, Np)
+    ptsT_blocks = ptsT.reshape(8, nb, L).transpose(1, 0, 2).reshape(nb * 8, L)
+
+    # the per-tile max lives in row 0 of an (8, tc) block (see
+    # _ballmax_kernel: an (Mp, 1) column output lane-pads 128×)
+    out_spec = pl.BlockSpec((8, tc), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((tiles * 8, tc), jnp.float32)
+    scratch = [pltpu.VMEM((tc, 1), jnp.float32)]
+
+    def finish(out):
+        return out.reshape(tiles, 8, tc)[:, 0].reshape(mp)[:m]
 
     if max_fori_points is None:
         max_fori_points = _FORI_MAX_POINTS
@@ -1048,40 +1096,40 @@ def ball_max_sorted(sc_pts4: Array, sc_blk_bbox: Array, values: Array,
         # (large-cloud path coverage in tests and the on-chip gate)
         out = pl.pallas_call(
             partial(_ballmax_kernel_fori, r2=r2, tc=tc, L=L, nb=nb),
-            grid=(mp // tc,),
+            grid=(tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((tc, 4), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # whole cloud
             ],
-            out_specs=pl.BlockSpec((tc, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            out_specs=out_spec,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
                 vmem_limit_bytes=64 * 1024 * 1024),
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(hitmask, ctr4, pts4v)
-        return out[:m, 0]
+        )(hitmask, ctr4, ptsT_blocks)
+        return finish(out)
 
     out = pl.pallas_call(
-        partial(_ballmax_kernel, r2=r2, tc=tc, L=L),
-        grid=(mp // tc, nb),
+        partial(_ballmax_kernel, r2=r2, tc=tc, L=L, nb=nb),
+        grid=(tiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tc, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, L), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tc, 1), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(hitmask, ctr4, pts4v)
-    return out[:m, 0]
+    )(hitmask, ctr4, ptsT_blocks)
+    return finish(out)
 
 
 def _nearest_valid_chunked(centers: Array, pts: Array,
@@ -1418,17 +1466,22 @@ def ball_query_grouped_csr(
     return _finish_grouped(top, cnt_raw, centers, nsample)
 
 
-def _ballmax_csr_kernel(tile_of, blk_of, ctr_ref, pts_ref, max_ref,
-                        *, r2: float, tc: int, L: int):
+def _ballmax_csr_kernel(tile_of, blk_of, ctr_ref, ptsT_ref, out_ref, scr_ref,
+                        *, r2: float, tc: int, L: int, steps: int):
     k = pl.program_id(0)
     t = tile_of[k]
     prev = tile_of[jnp.maximum(k - 1, 0)]
+    nxt = tile_of[jnp.minimum(k + 1, steps - 1)]
 
     @pl.when(jnp.logical_or(k == 0, t != prev))
     def _init():
-        _init_ballmax(ctr_ref, max_ref, tc)
+        _init_ballmax(ctr_ref, scr_ref)
 
-    _ballmax_block(ctr_ref, pts_ref[...], max_ref, r2=r2, tc=tc, L=L)
+    _ballmax_block(ctr_ref, ptsT_ref[...], scr_ref, r2=r2, tc=tc, L=L)
+
+    @pl.when(jnp.logical_or(k == steps - 1, nxt != t))
+    def _finalize():
+        _finish_ballmax(scr_ref, out_ref, tc)
 
 
 @partial(jax.jit, static_argnames=("radius", "block_size", "tile",
@@ -1447,16 +1500,23 @@ def ball_max_csr(sc_pts4: Array, values: Array, tile_of: Array,
     centers_p = jnp.pad(sc_pts4[:, :3], ((0, pad), (0, 0)),
                         constant_values=_FAR_CENTER)
     mp = np_ + pad
+    tiles = mp // tc
     ctr4 = jnp.concatenate(
         [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
     r2 = float(radius) ** 2
-    pts4v = jnp.concatenate([
-        jnp.concatenate(
-            [sc_pts4[:, :3], values.astype(jnp.float32)[:, None]], axis=1),
-        # sentinel block NB: +1e9 coords, -1e30 value — never wins
-        jnp.concatenate([jnp.full((L, 3), _FAR, jnp.float32),
-                         jnp.full((L, 1), -_BIG, jnp.float32)], axis=1),
-    ], axis=0)
+    # block-major transposed payload (rows x/y/z/val — see ball_max_sorted),
+    # with a sentinel block NB appended: +1e9 coords, -1e30 value — never wins
+    ptsT = jnp.concatenate(
+        [jnp.concatenate([sc_pts4[:, :3].T,
+                          values.astype(jnp.float32)[None, :]], axis=0),
+         jnp.concatenate([jnp.full((3, L), _FAR, jnp.float32),
+                          jnp.full((1, L), -_BIG, jnp.float32)], axis=0)],
+        axis=1)                                              # (4, Np + L)
+    nb1 = ptsT.shape[1] // L
+    ptsT = jnp.concatenate(
+        [ptsT, jnp.zeros((4, nb1 * L), jnp.float32)], axis=0)
+    ptsT_blocks = ptsT.reshape(8, nb1, L).transpose(1, 0, 2).reshape(
+        nb1 * 8, L)
     steps = tile_of.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1465,19 +1525,21 @@ def ball_max_csr(sc_pts4: Array, values: Array, tile_of: Array,
         in_specs=[
             pl.BlockSpec((tc, 4), lambda k, tof, bof: (tof[k], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 4), lambda k, tof, bof: (bof[k], 0),
+            pl.BlockSpec((8, L), lambda k, tof, bof: (bof[k], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tc, 1), lambda k, tof, bof: (tof[k], 0),
+        # per-tile max in row 0 of an (8, tc) block (see _ballmax_kernel)
+        out_specs=pl.BlockSpec((8, tc), lambda k, tof, bof: (tof[k], 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tc, 1), jnp.float32)],
     )
     out = pl.pallas_call(
-        partial(_ballmax_csr_kernel, r2=r2, tc=tc, L=L),
+        partial(_ballmax_csr_kernel, r2=r2, tc=tc, L=L, steps=steps),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tiles * 8, tc), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(tile_of, blk_of, ctr4, pts4v)
-    return out[:np_, 0]
+    )(tile_of, blk_of, ctr4, ptsT_blocks)
+    return out.reshape(tiles, 8, tc)[:, 0].reshape(mp)[:np_]

@@ -68,7 +68,13 @@ def make_sharded_extract(model: Feat3DNet, mesh: Mesh, mcfg, icfg,
       * NMS ball-max: per-device ball_max_sorted over its center shard
         (candidate values arrive via one (N,)-scalar all-gather over ICI);
       * selection (top-k over N scalars) replicates — it is trivial;
-      * descriptors: keypoint axis sharded, one forward per device shard.
+      * descriptors: NO second ball query (same reuse as the single-device
+        hashed extract, inference/pipeline.py): every keypoint is a cloud
+        point whose radius-r cluster and detector orientation were already
+        computed by the attention pass on its owning shard. One (K, ns, 3)
+        psum collects the selected clusters (each sorted row is owned by
+        exactly one device), then each device runs the descriptor tower on
+        its K/D keypoint slice.
 
     Built with shard_map (explicit per-device Pallas calls + collectives)
     rather than GSPMD constraints: the kernels' tiled grids must stay
@@ -82,6 +88,7 @@ def make_sharded_extract(model: Feat3DNet, mesh: Mesh, mcfg, icfg,
     import numpy as _np
 
     from feat3dnet_tpu.models.feat3dnet import Feat3DNet as _F
+    from feat3dnet_tpu.models.feat3dnet import _rotate_z
     from feat3dnet_tpu.ops.hash_grid import (SortedCloud, ball_max_sorted,
                                              ball_query_grouped_sorted)
     from feat3dnet_tpu.ops.nms import select_keypoints
@@ -111,42 +118,64 @@ def make_sharded_extract(model: Feat3DNet, mesh: Mesh, mcfg, icfg,
 
         def one_chunk(start):
             g = jax.lax.dynamic_slice_in_dim(normalized, start, chunk, axis=0)
-            att, _ = model.apply(variables, g[None], training=False,
-                                 method=_F.detect_clusters)
-            return att[0]
+            att, ori = model.apply(variables, g[None], training=False,
+                                   method=_F.detect_clusters)
+            return att[0], ori[0]
 
-        att_shard = jax.lax.map(
-            one_chunk, jnp.arange(shard // chunk) * chunk).reshape(-1)
+        att_shard, ori_shard = jax.lax.map(
+            one_chunk, jnp.arange(shard // chunk) * chunk)
+        att_shard = att_shard.reshape(-1)
+        ori_shard = ori_shard.reshape(-1)
         att_full = jax.lax.all_gather(att_shard, axis_name, tiled=True)
         ballmax_shard = ball_max_sorted(pts4, blk_bbox, att_full,
                                         float(icfg.nms_radius),
                                         centers=ctr_shard)
-        return att_shard, ballmax_shard
+        return att_shard, ballmax_shard, ori_shard, grouped
 
-    def describe_shard(variables, cloud, valid, kp_shard):
-        out = model.apply(variables, cloud, training=False,
-                          keypoints=kp_shard[None], valid_mask=valid)
-        return out.features[0]
+    def describe_shard(variables, grouped_shard, ori_shard, kp_s, kp):
+        # Collect the selected keypoints' precomputed clusters/orientations
+        # from their owning shards: each sorted row lives on exactly one
+        # device, so a masked gather + psum reconstructs the full (K, ...)
+        # buffers everywhere (K·ns·3 f32 ≈ 0.8 MB at the defaults — one
+        # cheap ICI reduction instead of a dense K×N ball query).
+        lo = jax.lax.axis_index(axis_name) * shard
+        rel = kp_s - lo
+        owned = (rel >= 0) & (rel < shard)
+        relc = jnp.clip(rel, 0, shard - 1)
+        contrib = jnp.where(owned[:, None, None],
+                            grouped_shard[relc], 0.0)
+        clusters = jax.lax.psum(contrib, axis_name)          # (K, ns, 3)
+        ori_kp = jax.lax.psum(jnp.where(owned, ori_shard[relc], 0.0),
+                              axis_name)                     # (K,)
+        normalized = (clusters - kp[:, None, :]) / r
+        if mcfg.regress_orientation:
+            normalized = _rotate_z(normalized[None], ori_kp[None])[0]
+        my = jax.lax.dynamic_slice_in_dim(
+            normalized, jax.lax.axis_index(axis_name) * (k_max // n_dev),
+            k_max // n_dev, axis=0)
+        return model.apply(variables, my[None], training=False,
+                           method=_F.describe_clusters)[0]
 
     @jax.jit
     def impl(variables, pts4, blk_bbox, inv_perm):
-        att_s, ballmax_s = jax.shard_map(
+        att_s, ballmax_s, ori_s, grouped = jax.shard_map(
             attention_nms_shard, mesh=mesh,
             in_specs=(P(), P(), P(), P(axis_name)),
-            out_specs=(P(axis_name), P(axis_name)), check_vma=False,
+            out_specs=(P(axis_name),) * 4, check_vma=False,
         )(variables, pts4, blk_bbox, pts4[:, :3])
         att = att_s[inv_perm]
         is_max = (att_s >= ballmax_s)[inv_perm]
         cloud = pts4[inv_perm, :3][None]
         valid = cloud[..., 0] < 5.0e8                  # invalid -> +1e9
-        kp, kp_att, num = select_keypoints(
+        kp, kp_att, num, kp_idx = select_keypoints(
             cloud, att[None], is_max[None], k_max,
-            icfg.min_response_ratio, valid_mask=valid)
+            icfg.min_response_ratio, valid_mask=valid, return_indices=True)
+        kp_s = inv_perm[kp_idx[0]]                     # sorted-domain rows
         feats = jax.shard_map(
             describe_shard, mesh=mesh,
-            in_specs=(P(), P(), P(), P(axis_name)),
+            in_specs=(P(), P(axis_name), P(axis_name), P(), P()),
             out_specs=P(axis_name), check_vma=False,
-        )(variables, cloud, valid, kp[0])
+        )(variables, grouped, ori_s, kp_s, kp[0])
         return kp[0], feats, kp_att[0], num[0]
 
     return impl
