@@ -10,6 +10,10 @@ XLA/dense reference:
   * fps:         Pallas batch-lockstep FPS == lax.scan FPS (index-exact)
   * batch_group: fused training ball-query == dense ball_query (index-exact)
   * hashed:      hashed pipeline extract == chunked-XLA extract (oxford_270)
+  * merge_drivers: fori vs 2-D-grid drivers bit-compared on chip
+  * submap_scale: 131072-bucket extraction compiles + CSR == dense-grid
+                  flavors bit-equal at scale (small-size green does not
+                  gate the big-bucket executables — r3 scoped-VMEM OOM)
   * serving:     fused serving kernel vs XLA model path (cosine >= 0.9999),
                  lane-packed == unpacked (bit-exact),
                  slot-major flat-2D (the default path) == rank-3 (bit-exact),
@@ -181,6 +185,41 @@ def phase_merge_drivers():
     }
 
 
+def phase_submap_scale():
+    """Full 131072-bucket extraction compile + CSR-vs-dense-grid flavor
+    equality AT SCALE. The r3 scoped-VMEM OOM (compile service allocating
+    the ballmax result / whole-VMEM cloud with T(8,128) padding) compiled
+    fine at 16k and only failed at 131k — exactness at small sizes does
+    not gate the big-bucket executables."""
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    rng = np.random.RandomState(7)
+    big = np.concatenate([
+        rng.rand(120000, 3).astype(np.float32)
+        * np.array([100, 100, 10], np.float32),
+        np.zeros((120000, 3), np.float32)], axis=1)
+    cfg = ModelConfig(num_clusters=-1)
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)),
+                   training=False)
+    grid = InferencePipeline(
+        model, v, cfg, InferenceConfig(use_hashed_grouping=True,
+                                       use_csr_kernels=False)).extract(big)
+    csr = InferencePipeline(
+        model, v, cfg, InferenceConfig(use_hashed_grouping=True,
+                                       use_csr_kernels=True)).extract(big)
+    return {
+        "ok_flavors_equal": bool(
+            grid.num_keypoints == csr.num_keypoints
+            and np.array_equal(grid.keypoints, csr.keypoints)
+            and np.array_equal(grid.features, csr.features)),
+        "ok_nonempty": bool(grid.num_keypoints > 0),
+        "num_keypoints": int(grid.num_keypoints),
+    }
+
+
 def phase_serving():
     from feat3dnet_tpu.config import ModelConfig
     from feat3dnet_tpu.models import Feat3DNet
@@ -256,6 +295,7 @@ def main():
     run_phase(results, "batch_group", phase_batch_group)
     run_phase(results, "hashed_extract", phase_hashed_extract)
     run_phase(results, "merge_drivers", phase_merge_drivers)
+    run_phase(results, "submap_scale", phase_submap_scale)
     run_phase(results, "serving", phase_serving)
     ok = all(v.get("ok", False) for k, v in results.items()
              if isinstance(v, dict))
