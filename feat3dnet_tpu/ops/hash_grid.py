@@ -691,7 +691,15 @@ def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
 # 2-D grid driver above when the cloud exceeds the VMEM budget.
 # ---------------------------------------------------------------------------
 
-_FORI_MAX_POINTS = 524288    # 48 B/point → 24 MB of the 100 MB VMEM cap
+_FORI_MAX_POINTS = 524288    # ballmax fori cap: lane-clean (nb·8, L)
+                             # payload = 32 B/point → 16 MB of VMEM
+# The MERGE fori driver additionally needs the ROW-major (Np, 4) cloud
+# VMEM-resident (its (L, ·)-sublane point columns cannot be derived from
+# the lane-clean transposed payload), and the compile service tiles that
+# whole-VMEM operand at T(8,128) → 512 B/point: 64 MiB at 131072 (fits
+# the 100 MiB budget, gate-verified) but 128 MiB at the next bucket.
+# Larger clouds route to the lane-clean 2-D grid driver.
+_FORI_MAX_POINTS_MERGE = 131072
 
 
 def _bq_kernel_t_fori(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
@@ -866,7 +874,7 @@ def ball_query_grouped_sorted(
       cnt: (M,) int32 in-ball counts capped at ns (reference pts_cnt).
     """
     if max_fori_points is None:
-        max_fori_points = _FORI_MAX_POINTS
+        max_fori_points = _FORI_MAX_POINTS_MERGE
     if _USE_TRANSPOSED_MERGE:
         # fori driver (blocks looped in-kernel, whole cloud VMEM-resident)
         # when the cloud fits the VMEM budget; 2-D grid driver otherwise
