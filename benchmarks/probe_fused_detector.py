@@ -1,0 +1,82 @@
+"""On-chip A/B of the fused detector-only kernel in the hashed extract.
+
+`InferenceConfig(use_fused_detector=True)` replaces the attention pass's
+chunked XLA detector (which materializes every (chunk, ns, C) inter-layer
+activation in HBM) with ops/fused_describe.fused_detect_clusters_2d.
+Interleaved same-session A/B (BENCHMARKS.md session-drift rule) on the
+synthetic 120k submap, the kitti 29k cloud, and oxford 16k, plus an
+agreement check (keypoint overlap + attention tolerance) at full scale.
+
+    python benchmarks/probe_fused_detector.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from feat3dnet_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.data.io import example_cloud_path, load_point_cloud
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cfg = ModelConfig(num_clusters=-1)
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)),
+                   training=False)
+
+    rng = np.random.RandomState(7)
+    clouds = {
+        "oxford_16k": load_point_cloud(example_cloud_path("oxford_270.bin"),
+                                       num_cols=6),
+        "kitti_29k": load_point_cloud(
+            example_cloud_path("kitti_00_001554.bin"), num_cols=6),
+        "synth_120k": np.concatenate([
+            rng.rand(120000, 3).astype(np.float32)
+            * np.array([100, 100, 10], np.float32),
+            np.zeros((120000, 3), np.float32)], axis=1),
+    }
+
+    pipes = {
+        "xla  ": InferencePipeline(model, v, cfg, InferenceConfig()),
+        "fused": InferencePipeline(model, v, cfg,
+                                   InferenceConfig(use_fused_detector=True)),
+    }
+
+    # agreement at full scale
+    rx = pipes["xla  "].extract(clouds["synth_120k"])
+    rf = pipes["fused"].extract(clouds["synth_120k"])
+    kx = {tuple(k) for k in np.asarray(rx.keypoints[:rx.num_keypoints])}
+    kf = {tuple(k) for k in np.asarray(rf.keypoints[:rf.num_keypoints])}
+    overlap = len(kx & kf) / max(len(kx), 1)
+    att_rel = np.abs(rf.attention - rx.attention) / np.maximum(
+        np.abs(rx.attention), 1e-6)
+    print(f"agreement @120k: kp overlap {overlap:.4f} "
+          f"({rx.num_keypoints} vs {rf.num_keypoints}), "
+          f"att relmax {att_rel.max():.2e}", flush=True)
+
+    for name, cloud in clouds.items():
+        for p in pipes.values():          # warm both
+            p.extract(cloud)
+        times = {k: [] for k in pipes}
+        for r in range(5):
+            for k, p in pipes.items():    # interleaved
+                t0 = time.time()
+                p.extract(cloud)
+                times[k].append(time.time() - t0)
+        for k in pipes:
+            print(f"{name:11s} {k}  median {np.median(times[k]):.4f}s",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,16 @@ class InferencePipeline:
         n_chunks = n_bucket // chunk
 
         def detector_on_grouped(variables, grouped, centers_sorted):
+            if self.icfg.use_fused_detector:
+                # fused detector-only kernel: same (att, ori) contract,
+                # serving-envelope rounding (see InferenceConfig)
+                from feat3dnet_tpu.ops.fused_describe import (
+                    folded_weights, fused_detect_clusters_2d)
+
+                offs = grouped - centers_sorted[:, None, :]
+                return fused_detect_clusters_2d(
+                    folded_weights(variables, self.mcfg), offs, self.mcfg)
+
             normalized = (grouped - centers_sorted[:, None, :]) / r
 
             def one_chunk(start):

@@ -589,6 +589,118 @@ def fused_describe_clusters_2d(weights: List[Array], clusters: Array,
     return desc[:b], att[:b, 0]
 
 
+def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
+    """Detector-only slot-major kernel: membership chain + detector tower
+    + attention/orientation heads of `_kernel_2d`, with the descriptor
+    tower dropped. Output is ROW-form — rows 0/1/2 of each (8, tc) block
+    carry att/cos/sin — because a column output lane-pads 128× in scoped
+    VMEM at 131k clusters (the ballmax lesson, see hash_grid
+    `_ballmax_kernel`); the (TC, 3) payload is transposed by one identity
+    matmul (exact at HIGHEST precision)."""
+    weights = refs[:-1]
+    out_ref = refs[-1]
+    widx = 0
+
+    def next_w():
+        nonlocal widx
+        k, b = weights[widx][...], weights[widx + 1][...]
+        widx += 2
+        return k, b
+
+    def mm(a, k):
+        return jnp.dot(a, k, preferred_element_type=jnp.float32)
+
+    r2 = jnp.float32(cfg.base_scale) ** 2
+    inv_r = 1.0 / jnp.float32(cfg.base_scale)
+    R = tc * ns
+
+    def bcast(x):
+        return _double_rows(x, ns)
+
+    pts = flat_ref[...].reshape(R, 3)
+    sid = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+           // tc).astype(jnp.float32)
+    d2 = jnp.sum(pts * pts, axis=1, keepdims=True)            # (R, 1)
+    in_ball = (d2 < r2).astype(jnp.float32)
+    empty_c = 1.0 - _half_max(in_ball, tc)                    # (TC, 1)
+    _, win_idx = _tourney_min_first(d2, sid, tc)
+    near = (jnp.abs(sid - bcast(win_idx)) < 0.5).astype(jnp.float32)
+    mask_r = jnp.minimum(in_ball + bcast(empty_c) * near, 1.0)
+
+    h = pts * inv_r
+    for _ in range(len(cfg.detector_mlp)):
+        k, b = next_w()
+        h = jnp.maximum(mm(h, k) + b, 0.0)
+    h = _half_max(h * mask_r, tc)                             # (TC, C)
+    for _ in range(len(cfg.detector_mlp2)):
+        k, b = next_w()
+        h = jnp.maximum(mm(h, k) + b, 0.0)
+    ka, ba = next_w()
+    att = jax.nn.softplus(mm(h, ka) + ba)                     # (TC, 1)
+    ko, bo = next_w()
+    ori = mm(h, ko) + bo                                      # (TC, 2)
+    ori = ori * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(ori * ori, -1, keepdims=True), 1e-8))
+
+    payload = jnp.concatenate([att, ori], axis=1)             # (TC, 3)
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 1)
+             ).astype(jnp.float32)
+    rows = jax.lax.dot_general(payload, ident, (((0,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)  # (3, TC)
+    out_ref[...] = jnp.concatenate(
+        [rows, jnp.zeros((5, tc), jnp.float32)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+def fused_detect_clusters_2d(weights: List[Array], clusters: Array,
+                             cfg: ModelConfig, tile: int = 256,
+                             interpret: Optional[bool] = None
+                             ) -> Tuple[Array, Array]:
+    """(B, nsample, 3) origin-centered clusters -> (attention (B,),
+    orientation (B,) angle). Detector-only fused kernel for the
+    attention-everywhere extraction pass (reference inference.py:82's
+    num_clusters=-1 first pass): the chunked XLA detector materializes
+    every (chunk, ns, C) activation between layers (~50 GB of HBM traffic
+    at 131k clusters), where this kernel streams cluster coords in and 12
+    bytes per cluster out. weights = folded_weights() (the descriptor
+    tail entries are ignored). Same membership/tower algebra as
+    `_kernel_2d`, so it matches the model path to the serving kernel's
+    rounding envelope (low-bit matmul differences — NOT bit-exact, which
+    is why the pipeline flag `use_fused_detector` is opt-in)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, ns, _ = clusters.shape
+    assert ns == cfg.num_samples, \
+        f"cluster size {ns} != num_samples {cfg.num_samples}"
+    assert ns & (ns - 1) == 0, "slot-major kernel needs power-of-two ns"
+    n_det = 2 * (len(cfg.detector_mlp) + len(cfg.detector_mlp2) + 2)
+    det_w = list(weights[:n_det])
+    pad = -b % tile
+    padded = jnp.pad(clusters.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
+    n_tiles = padded.shape[0] // tile
+    slot_major = jnp.transpose(padded, (1, 0, 2))             # (ns, B, 3)
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in det_w]
+    out = pl.pallas_call(
+        partial(_detect_kernel_2d, cfg=cfg, tc=tile, ns=ns),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((ns, tile, 3), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tile), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(slot_major, *det_w)
+    rows = out.reshape(n_tiles, 8, tile)
+    att = rows[:, 0].reshape(-1)[:b]
+    ori = jnp.arctan2(rows[:, 2].reshape(-1)[:b],
+                      rows[:, 1].reshape(-1)[:b])
+    return att, ori
+
+
 @partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul", "vpu_k3",
                                    "bf16_act", "lane_pack", "interpret"))
 def fused_describe_clusters(weights: List[Array], clusters: Array,

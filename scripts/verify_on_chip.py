@@ -210,12 +210,28 @@ def phase_submap_scale():
     csr = InferencePipeline(
         model, v, cfg, InferenceConfig(use_hashed_grouping=True,
                                        use_csr_kernels=True)).extract(big)
+    # fused detector-only kernel (opt-in): compile + agreement at scale.
+    # Rounding differs from the XLA detector (serving envelope), so the
+    # check is keypoint OVERLAP + attention tolerance, not equality —
+    # random-init weights give near-flat attention, the worst case for
+    # tie-flips (0.95 measured; trained weights sit higher).
+    fused = InferencePipeline(
+        model, v, cfg, InferenceConfig(use_hashed_grouping=True,
+                                       use_fused_detector=True)).extract(big)
+    kg = {tuple(k) for k in np.asarray(grid.keypoints[:grid.num_keypoints])}
+    kf = {tuple(k) for k in np.asarray(fused.keypoints[:fused.num_keypoints])}
+    overlap = len(kg & kf) / max(len(kg), 1)
+    att_rel = float((np.abs(fused.attention - grid.attention)
+                     / np.maximum(np.abs(grid.attention), 1e-6)).max())
     return {
         "ok_flavors_equal": bool(
             grid.num_keypoints == csr.num_keypoints
             and np.array_equal(grid.keypoints, csr.keypoints)
             and np.array_equal(grid.features, csr.features)),
         "ok_nonempty": bool(grid.num_keypoints > 0),
+        "ok_fused_detector": bool(overlap >= 0.85 and att_rel <= 1e-2),
+        "fused_kp_overlap": round(overlap, 4),
+        "fused_att_relmax": att_rel,
         "num_keypoints": int(grid.num_keypoints),
     }
 

@@ -75,6 +75,72 @@ def test_fused_partial_ball(rng):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_fused_detect_matches_model(rng):
+    """Detector-only kernel (attention-everywhere pass) vs the model path,
+    across the selection branches: in-ball, partial, empty-ball fallback,
+    duplicate ties."""
+    from feat3dnet_tpu.ops.fused_describe import fused_detect_clusters_2d
+
+    cfg = ModelConfig(num_samples=16, feature_dim=32)
+    model = Feat3DNet(cfg)
+    clusters = rng.randn(32, 16, 3).astype(np.float32) * 1.2
+    clusters[3] += 30.0                       # empty ball -> fallback
+    clusters[5, 8:] = clusters[5, :8]         # duplicates -> ties
+    clusters[9, 10:] += 30.0                  # partial ball
+    keypoints = jnp.zeros((32, 1, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(clusters),
+                           training=False, keypoints=keypoints)
+    variables = jax.tree.map(
+        lambda x: x + 0.05 if x.ndim == 1 else x, variables)
+    want = model.apply(variables, jnp.asarray(clusters), training=False,
+                       keypoints=keypoints)
+    weights = folded_weights(variables, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        att, ori = fused_detect_clusters_2d(weights, jnp.asarray(clusters),
+                                            cfg, tile=8)
+    np.testing.assert_allclose(np.asarray(att),
+                               np.asarray(want.attention[:, 0]),
+                               rtol=1e-3, atol=1e-4)
+    # compare as (cos, sin) — angles wrap at ±π
+    np.testing.assert_allclose(
+        np.stack([np.cos(np.asarray(ori)),
+                  np.sin(np.asarray(ori))], -1),
+        np.stack([np.cos(np.asarray(want.orientation[:, 0])),
+                  np.sin(np.asarray(want.orientation[:, 0]))], -1),
+        rtol=1e-3, atol=1e-4)
+
+
+def test_pipeline_fused_detector_matches_default(rng):
+    """use_fused_detector=True must reproduce the default hashed extract
+    (same keypoints, features/attention to rounding tolerance)."""
+    from feat3dnet_tpu.config import InferenceConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 3)),
+                   training=False)
+    v = jax.tree.map(lambda x: x + 0.1 * rng.randn(*x.shape).astype(np.float32), v)
+
+    pts = np.concatenate([
+        rng.randn(300, 3).astype(np.float32) * 2.0 + off
+        for off in np.array([[0, 0, 0], [8, 0, 0], [0, 9, 0]], np.float32)
+    ])
+    icfg = dict(keypoint_chunk=256, max_keypoints=64, nms_radius=1.0,
+                use_hashed_grouping=True)
+    res_f = InferencePipeline(model, v, cfg, InferenceConfig(
+        use_fused_detector=True, **icfg)).extract(pts)
+    res_x = InferencePipeline(model, v, cfg, InferenceConfig(**icfg)).extract(pts)
+    assert res_f.num_keypoints == res_x.num_keypoints
+    np.testing.assert_array_equal(res_f.keypoints, res_x.keypoints)
+    np.testing.assert_allclose(res_f.attention, res_x.attention,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(res_f.features, res_x.features,
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_cluster_descriptor_server_fallback(rng):
     """On the CPU backend the server must transparently use the XLA path."""
     from feat3dnet_tpu.inference import ClusterDescriptorServer
