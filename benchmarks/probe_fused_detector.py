@@ -28,22 +28,20 @@ def main():
     from feat3dnet_tpu.data.io import example_cloud_path, load_point_cloud
     from feat3dnet_tpu.inference import InferencePipeline
     from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.utils.synthetic import (keypoint_agreement,
+                                               synthetic_submap)
 
     cfg = ModelConfig(num_clusters=-1)
     model = Feat3DNet(cfg)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)),
                    training=False)
 
-    rng = np.random.RandomState(7)
     clouds = {
         "oxford_16k": load_point_cloud(example_cloud_path("oxford_270.bin"),
                                        num_cols=6),
         "kitti_29k": load_point_cloud(
             example_cloud_path("kitti_00_001554.bin"), num_cols=6),
-        "synth_120k": np.concatenate([
-            rng.rand(120000, 3).astype(np.float32)
-            * np.array([100, 100, 10], np.float32),
-            np.zeros((120000, 3), np.float32)], axis=1),
+        "synth_120k": synthetic_submap(),
     }
 
     pipes = {
@@ -52,17 +50,13 @@ def main():
                                    InferenceConfig(use_fused_detector=True)),
     }
 
-    # agreement at full scale
+    # agreement at full scale (coordinate-matched — see keypoint_agreement)
     rx = pipes["xla  "].extract(clouds["synth_120k"])
     rf = pipes["fused"].extract(clouds["synth_120k"])
-    kx = {tuple(k) for k in np.asarray(rx.keypoints[:rx.num_keypoints])}
-    kf = {tuple(k) for k in np.asarray(rf.keypoints[:rf.num_keypoints])}
-    overlap = len(kx & kf) / max(len(kx), 1)
-    att_rel = np.abs(rf.attention - rx.attention) / np.maximum(
-        np.abs(rx.attention), 1e-6)
-    print(f"agreement @120k: kp overlap {overlap:.4f} "
-          f"({rx.num_keypoints} vs {rf.num_keypoints}), "
-          f"att relmax {att_rel.max():.2e}", flush=True)
+    agree = keypoint_agreement(rx, rf)
+    print(f"agreement @120k: kp overlap {agree['overlap']:.4f} "
+          f"({agree['num_a']} vs {agree['num_b']}), matched-att relmax "
+          f"{agree['att_relmax_matched']:.2e}", flush=True)
 
     for name, cloud in clouds.items():
         for p in pipes.values():          # warm both

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from feat3dnet_tpu.config import ModelConfig
+from feat3dnet_tpu.ops.hash_grid import _transpose_cols_to_rows
 
 Array = jax.Array
 
@@ -403,6 +404,47 @@ def _tourney_min_first(val, idx, rows_out: int):
     return val, idx
 
 
+def _membership_mask_2d(pts, tc: int, ns: int, r2):
+    """Slot-major ball-query membership: in-ball, plus the empty-ball
+    nearest fallback (FIRST slot attaining the min distance — the
+    reference's tie order). pts (R, 3) slot-major rows -> (R, 1) 0/1 mask.
+    Shared by the serving kernel and the detector-only kernel so the
+    subtle tie/fallback algebra lives in exactly one place."""
+    R = tc * ns
+    sid = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+           // tc).astype(jnp.float32)                         # slot id/row
+    d2 = jnp.sum(pts * pts, axis=1, keepdims=True)            # (R, 1)
+    in_ball = (d2 < r2).astype(jnp.float32)                   # (R, 1)
+    empty_c = 1.0 - _half_max(in_ball, tc)                    # (TC, 1)
+    _, win_idx = _tourney_min_first(d2, sid, tc)              # (TC, 1)
+    near = (jnp.abs(sid - _double_rows(win_idx, ns)) < 0.5
+            ).astype(jnp.float32)
+    return jnp.minimum(in_ball + _double_rows(empty_c, ns) * near, 1.0)
+
+
+def _detector_heads_2d(flat_n, mask_r, next_w, mm, cfg: ModelConfig,
+                       tc: int, act_t):
+    """Detector tower + attention/orientation heads on slot-major rows:
+    (R, 3) normalized points + (R, 1) mask -> (att (TC, 1), ori (TC, 2)
+    normalized (cos, sin)). Shared tower algebra of `_kernel_2d` and
+    `_detect_kernel_2d`."""
+    h = flat_n
+    for _ in range(len(cfg.detector_mlp)):
+        k, b = next_w()
+        h = jnp.maximum(mm(h, k) + b, 0.0).astype(act_t)
+    h = _half_max(h * mask_r.astype(act_t), tc)               # (TC, C)
+    for _ in range(len(cfg.detector_mlp2)):
+        k, b = next_w()
+        h = jnp.maximum(mm(h, k) + b, 0.0).astype(act_t)
+    ka, ba = next_w()
+    att = jax.nn.softplus(mm(h, ka) + ba)                     # (TC, 1)
+    ko, bo = next_w()
+    ori = mm(h, ko) + bo                                      # (TC, 2)
+    ori = ori * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(ori * ori, -1, keepdims=True), 1e-8))
+    return att, ori
+
+
 def _kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
                bf16_matmul: bool = False, bf16_act: bool = False,
                hoist_mask: bool = False):
@@ -450,33 +492,10 @@ def _kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
         mask_r = mask_ref[...].reshape(R, 1)
     else:
         pts = flat_ref[...].reshape(R, 3)      # slot-major point rows
-        sid = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-               // tc).astype(jnp.float32)                     # slot id/row
-
-        # ---- ball-query membership (same algebra as _kernel, row form) --
-        d2 = jnp.sum(pts * pts, axis=1, keepdims=True)        # (R, 1)
-        in_ball = (d2 < r2).astype(jnp.float32)               # (R, 1)
-        empty_c = 1.0 - _half_max(in_ball, tc)                # (TC, 1)
-        _, win_idx = _tourney_min_first(d2, sid, tc)          # (TC, 1)
-        near = (jnp.abs(sid - bcast(win_idx)) < 0.5).astype(jnp.float32)
-        mask_r = jnp.minimum(in_ball + bcast(empty_c) * near, 1.0)  # (R, 1)
-
+        mask_r = _membership_mask_2d(pts, tc, ns, r2)         # (R, 1)
         flat_n = pts * inv_r
 
-    # ---- detector tower --------------------------------------------------
-    h = flat_n
-    for _ in range(len(cfg.detector_mlp)):
-        k, b = next_w()
-        h = jnp.maximum(mm(h, k) + b, 0.0).astype(act_t)
-    h = _half_max(h * mask_r.astype(act_t), tc)               # (TC, 256)
-    for _ in range(len(cfg.detector_mlp2)):
-        k, b = next_w()
-        h = jnp.maximum(mm(h, k) + b, 0.0).astype(act_t)
-    ka, ba = next_w()
-    att = jax.nn.softplus(mm(h, ka) + ba)                     # (TC, 1)
-    ko, bo = next_w()
-    ori = mm(h, ko) + bo                                      # (TC, 2)
-    ori = ori * jax.lax.rsqrt(jnp.maximum(jnp.sum(ori * ori, -1, keepdims=True), 1e-8))
+    att, ori = _detector_heads_2d(flat_n, mask_r, next_w, mm, cfg, tc, act_t)
 
     # ---- canonicalize + descriptor tower ---------------------------------
     c_r = bcast(ori[:, 0:1])                                  # (R, 1)
@@ -614,40 +633,13 @@ def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
     inv_r = 1.0 / jnp.float32(cfg.base_scale)
     R = tc * ns
 
-    def bcast(x):
-        return _double_rows(x, ns)
-
     pts = flat_ref[...].reshape(R, 3)
-    sid = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-           // tc).astype(jnp.float32)
-    d2 = jnp.sum(pts * pts, axis=1, keepdims=True)            # (R, 1)
-    in_ball = (d2 < r2).astype(jnp.float32)
-    empty_c = 1.0 - _half_max(in_ball, tc)                    # (TC, 1)
-    _, win_idx = _tourney_min_first(d2, sid, tc)
-    near = (jnp.abs(sid - bcast(win_idx)) < 0.5).astype(jnp.float32)
-    mask_r = jnp.minimum(in_ball + bcast(empty_c) * near, 1.0)
-
-    h = pts * inv_r
-    for _ in range(len(cfg.detector_mlp)):
-        k, b = next_w()
-        h = jnp.maximum(mm(h, k) + b, 0.0)
-    h = _half_max(h * mask_r, tc)                             # (TC, C)
-    for _ in range(len(cfg.detector_mlp2)):
-        k, b = next_w()
-        h = jnp.maximum(mm(h, k) + b, 0.0)
-    ka, ba = next_w()
-    att = jax.nn.softplus(mm(h, ka) + ba)                     # (TC, 1)
-    ko, bo = next_w()
-    ori = mm(h, ko) + bo                                      # (TC, 2)
-    ori = ori * jax.lax.rsqrt(
-        jnp.maximum(jnp.sum(ori * ori, -1, keepdims=True), 1e-8))
+    mask_r = _membership_mask_2d(pts, tc, ns, r2)             # (R, 1)
+    att, ori = _detector_heads_2d(pts * inv_r, mask_r, next_w, mm, cfg,
+                                  tc, jnp.float32)
 
     payload = jnp.concatenate([att, ori], axis=1)             # (TC, 3)
-    ident = (jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 0)
-             == jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 1)
-             ).astype(jnp.float32)
-    rows = jax.lax.dot_general(payload, ident, (((0,), (0,)), ((), ())),
-                               precision=jax.lax.Precision.HIGHEST)  # (3, TC)
+    rows = _transpose_cols_to_rows(payload, tc)               # (3, TC)
     out_ref[...] = jnp.concatenate(
         [rows, jnp.zeros((5, tc), jnp.float32)], axis=0)
 

@@ -596,6 +596,16 @@ def _bq_kernel_t(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
                        r2=r2, tc=tc, L=L, ns=ns)
 
 
+def _block_major_rows(ptsT: Array, L: int) -> Array:
+    """(8, NB·L) transposed payload -> (NB·8, L) block-major rows: block
+    j's 8 payload rows sit at rows [8j, 8j+8), so an in-kernel block
+    access is a multiple-of-8 SUBLANE slice (dynamic lane slicing is
+    restricted) and a whole-VMEM-resident copy stays lane-clean under
+    T(8,128) tiling (the scoped-VMEM padding rule — see _ballmax_kernel)."""
+    nb = ptsT.shape[1] // L
+    return ptsT.reshape(8, nb, L).transpose(1, 0, 2).reshape(nb * 8, L)
+
+
 def _merge_prologue_t(sc_pts4, sc_blk_bbox, centers, radius, tc):
     """Shared transposed-driver prologue: tile-pad centers (_FAR_CENTER
     sentinels), hitmask, and the transposed payload assemblies. Returns
@@ -743,10 +753,7 @@ def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
     tc = tile
     m, mp, tiles, nb, L, r2, hitmask, ctrT, ptsT_ext = _merge_prologue_t(
         sc_pts4, sc_blk_bbox, centers, radius, tc)
-    # block-major payload rows so the in-kernel block slice is a
-    # multiple-of-8 SUBLANE slice (dynamic lane slicing is restricted)
-    ptsT_blocks = ptsT_ext.reshape(8, nb, L).transpose(1, 0, 2).reshape(
-        nb * 8, L)
+    ptsT_blocks = _block_major_rows(ptsT_ext, L)
 
     def _plane_spec():
         return pl.BlockSpec((ns, tc), lambda i: (i, 0),
@@ -1017,16 +1024,25 @@ def _ballmax_block(ctr_ref, ptsT, scr_ref, *, r2: float, tc: int, L: int):
                                    jnp.max(neigh, axis=1, keepdims=True))
 
 
-def _finish_ballmax(scr_ref, out_ref, tc: int):
-    """Transpose the accumulated (tc, 1) max column to the (8, tc) output
-    block: row = colᵀ·I via one MXU pass. Bit-exact at HIGHEST precision
-    (the bf16x3 split of a f32 is exact; ×1.0 and single-nonzero sums
-    round nowhere)."""
+def _transpose_cols_to_rows(cols, tc: int):
+    """In-kernel (tc, P) columns -> (P, tc) rows via one identity matmul
+    (rows = colsᵀ·I, lhs-dim-0 contraction). Mosaic cannot relayout the
+    sublane axis onto lanes directly, and a lane-narrow output/operand
+    gets T(8,128)-padded 128× in scoped VMEM (see _ballmax_kernel) — this
+    is the proven escape hatch. Bit-exact at HIGHEST precision: the
+    bf16x3 split of a f32 is exact, ×1.0/×0.0 products round nowhere,
+    and each output sums exactly one nonzero addend."""
     ident = (jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 0)
              == jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 1)
              ).astype(jnp.float32)
-    row = jax.lax.dot_general(scr_ref[...], ident, (((0,), (0,)), ((), ())),
-                              precision=jax.lax.Precision.HIGHEST)  # (1, tc)
+    return jax.lax.dot_general(cols, ident, (((0,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _finish_ballmax(scr_ref, out_ref, tc: int):
+    """Transpose the accumulated (tc, 1) max column to the (8, tc) output
+    block (see _transpose_cols_to_rows)."""
+    row = _transpose_cols_to_rows(scr_ref[...], tc)           # (1, tc)
     out_ref[...] = jnp.broadcast_to(row, out_ref.shape)
 
 
@@ -1083,7 +1099,7 @@ def ball_max_sorted(sc_pts4: Array, sc_blk_bbox: Array, values: Array,
     ptsT = jnp.concatenate(
         [sc_pts4[:, :3].T, values.astype(jnp.float32)[None, :],
          jnp.zeros((4, np_), jnp.float32)], axis=0)          # (8, Np)
-    ptsT_blocks = ptsT.reshape(8, nb, L).transpose(1, 0, 2).reshape(nb * 8, L)
+    ptsT_blocks = _block_major_rows(ptsT, L)
 
     # the per-tile max lives in row 0 of an (8, tc) block (see
     # _ballmax_kernel: an (Mp, 1) column output lane-pads 128×)
@@ -1520,11 +1536,9 @@ def ball_max_csr(sc_pts4: Array, values: Array, tile_of: Array,
          jnp.concatenate([jnp.full((3, L), _FAR, jnp.float32),
                           jnp.full((1, L), -_BIG, jnp.float32)], axis=0)],
         axis=1)                                              # (4, Np + L)
-    nb1 = ptsT.shape[1] // L
     ptsT = jnp.concatenate(
-        [ptsT, jnp.zeros((4, nb1 * L), jnp.float32)], axis=0)
-    ptsT_blocks = ptsT.reshape(8, nb1, L).transpose(1, 0, 2).reshape(
-        nb1 * 8, L)
+        [ptsT, jnp.zeros((4, ptsT.shape[1]), jnp.float32)], axis=0)
+    ptsT_blocks = _block_major_rows(ptsT, L)
     steps = tile_of.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

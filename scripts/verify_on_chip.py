@@ -194,12 +194,10 @@ def phase_submap_scale():
     from feat3dnet_tpu.config import InferenceConfig, ModelConfig
     from feat3dnet_tpu.inference import InferencePipeline
     from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.utils.synthetic import (keypoint_agreement,
+                                               synthetic_submap)
 
-    rng = np.random.RandomState(7)
-    big = np.concatenate([
-        rng.rand(120000, 3).astype(np.float32)
-        * np.array([100, 100, 10], np.float32),
-        np.zeros((120000, 3), np.float32)], axis=1)
+    big = synthetic_submap()
     cfg = ModelConfig(num_clusters=-1)
     model = Feat3DNet(cfg)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)),
@@ -212,26 +210,24 @@ def phase_submap_scale():
                                        use_csr_kernels=True)).extract(big)
     # fused detector-only kernel (opt-in): compile + agreement at scale.
     # Rounding differs from the XLA detector (serving envelope), so the
-    # check is keypoint OVERLAP + attention tolerance, not equality —
-    # random-init weights give near-flat attention, the worst case for
-    # tie-flips (0.95 measured; trained weights sit higher).
+    # check is keypoint OVERLAP + attention tolerance on COORDINATE-matched
+    # keypoints (slot-aligned top-k comparison would only test the sorted
+    # value profile) — random-init weights give near-flat attention, the
+    # worst case for tie-flips (0.95 measured; trained weights sit higher).
     fused = InferencePipeline(
         model, v, cfg, InferenceConfig(use_hashed_grouping=True,
                                        use_fused_detector=True)).extract(big)
-    kg = {tuple(k) for k in np.asarray(grid.keypoints[:grid.num_keypoints])}
-    kf = {tuple(k) for k in np.asarray(fused.keypoints[:fused.num_keypoints])}
-    overlap = len(kg & kf) / max(len(kg), 1)
-    att_rel = float((np.abs(fused.attention - grid.attention)
-                     / np.maximum(np.abs(grid.attention), 1e-6)).max())
+    agree = keypoint_agreement(grid, fused)
     return {
         "ok_flavors_equal": bool(
             grid.num_keypoints == csr.num_keypoints
             and np.array_equal(grid.keypoints, csr.keypoints)
             and np.array_equal(grid.features, csr.features)),
         "ok_nonempty": bool(grid.num_keypoints > 0),
-        "ok_fused_detector": bool(overlap >= 0.85 and att_rel <= 1e-2),
-        "fused_kp_overlap": round(overlap, 4),
-        "fused_att_relmax": att_rel,
+        "ok_fused_detector": bool(agree["overlap"] >= 0.85
+                                  and agree["att_relmax_matched"] <= 1e-2),
+        "fused_kp_overlap": round(agree["overlap"], 4),
+        "fused_att_relmax_matched": agree["att_relmax_matched"],
         "num_keypoints": int(grid.num_keypoints),
     }
 
