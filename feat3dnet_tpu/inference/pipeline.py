@@ -613,6 +613,159 @@ class InferencePipeline:
                 results.append(finish(inflight.popleft()))
         return results
 
+    def _extract_batch_fn(self, n_clouds: int, n_bucket: int):
+        """Batched single-dispatch extraction: B clouds packed into ONE
+        sorted layout and ONE executable (cached per (B, bucket)).
+
+        Each cloud is Morton-sorted separately and the per-cloud layouts
+        are concatenated, so tiles and culling blocks stay cloud-pure
+        (buckets are power-of-two multiples of both sizes). Cross-cloud
+        isolation comes from ANDing tile_cloud == block_cloud into the
+        kernel hitmasks (ops/hash_grid.py block_mask) — NOT from shifting
+        coordinates, which would perturb the f32 offsets — so per-cloud
+        results are BIT-EQUAL to extract() on that cloud alone
+        (tests/test_hash_bq.py::test_extract_batch_matches_single).
+
+        Reference analogue: the TF1 pipeline processes one cloud per
+        sess.run (inference.py:121-137); batching N small clouds per
+        dispatch amortizes the dispatch/sync overhead that dominates
+        small-cloud serving.
+        """
+        key = ("batch", n_clouds, n_bucket)
+        if key in self._extract_fns:
+            return self._extract_fns[key]
+
+        from feat3dnet_tpu.ops.hash_grid import (SortedCloud,
+                                                 ball_max_sorted,
+                                                 ball_query_grouped_sorted)
+        from feat3dnet_tpu.ops.nms import select_keypoints
+
+        icfg = self.icfg
+        B, nb = n_clouds, n_bucket
+        k_max = icfg.max_keypoints
+        r = float(self.mcfg.base_scale)
+        ns = self.mcfg.num_samples
+        L, tc = self._HASH_BLOCK, self._HASH_TILE
+        core = self._hashed_attention_sorted(B * nb)
+        d = self.mcfg.feature_dim
+
+        def cloud_mask(tile: int) -> np.ndarray:
+            tpc, bpc = nb // tile, nb // L
+            return (np.arange(B * tpc)[:, None] // tpc
+                    == np.arange(B * bpc)[None, :] // bpc)
+
+        mask_att = jnp.asarray(cloud_mask(tc))
+        mask_nms = jnp.asarray(cloud_mask(512))   # ball_max_sorted tile
+
+        @jax.jit
+        def impl(variables, packed):
+            pts4 = packed[:B * nb * 4].reshape(B * nb, 4)
+            inv_perm = packed[B * nb * 4:].reshape(B, nb).astype(jnp.int32)
+            centers_sorted = pts4[:, :3]
+            blocks = centers_sorted.reshape(-1, L, 3)
+            blk_bbox = jnp.concatenate(
+                [jnp.min(blocks, axis=1), jnp.max(blocks, axis=1),
+                 jnp.zeros((blocks.shape[0], 2), jnp.float32)], axis=1)
+            sc = SortedCloud(pts4=pts4, blk_bbox=blk_bbox, orig_idx=None,
+                             inv_perm=None, block_size=0)
+            grouped, _, _ = ball_query_grouped_sorted(
+                sc, centers_sorted, r, ns, tile=tc, block_mask=mask_att)
+            att_s, ori_s = core.detector_on_grouped(
+                variables, grouped, centers_sorted)
+            ballmax = ball_max_sorted(pts4, blk_bbox, att_s,
+                                      float(icfg.nms_radius),
+                                      block_mask=mask_nms)
+            is_max_s = att_s >= ballmax
+            # per-cloud original order (inv_perm is per-cloud local)
+            att_o = jnp.take_along_axis(att_s.reshape(B, nb), inv_perm, 1)
+            im_o = jnp.take_along_axis(is_max_s.reshape(B, nb), inv_perm, 1)
+            cloud_o = jnp.take_along_axis(
+                pts4.reshape(B, nb, 4)[..., :3], inv_perm[..., None], 1)
+            valid = cloud_o[..., 0] < 5.0e8
+            kp, kp_att, num, kp_idx = select_keypoints(
+                cloud_o, att_o, im_o, k_max, icfg.min_response_ratio,
+                valid_mask=valid, return_indices=True)
+            # descriptor pass via the attention-pass neighborhoods (see
+            # _extract_fn) — batched gather over the union rows
+            rows = (jnp.take_along_axis(inv_perm, kp_idx, 1)
+                    + jnp.arange(B, dtype=jnp.int32)[:, None] * nb)
+            clusters = grouped[rows.reshape(-1)].reshape(B, k_max, ns, 3)
+            normalized = (clusters - kp[:, :, None, :]) / r
+            if self.mcfg.regress_orientation:
+                from feat3dnet_tpu.models.feat3dnet import _rotate_z
+
+                normalized = _rotate_z(normalized,
+                                       ori_s[rows.reshape(-1)].reshape(B, k_max))
+            feats = self.model.apply(variables, normalized, training=False,
+                                     method=Feat3DNet.describe_clusters)
+            return jnp.concatenate([
+                kp.ravel(), feats.ravel(), kp_att.ravel(),
+                num.astype(jnp.float32)])
+
+        def unpack(out):
+            o = 0
+            kp = out[o:o + B * k_max * 3].reshape(B, k_max, 3)
+            o += B * k_max * 3
+            feats = out[o:o + B * k_max * d].reshape(B, k_max, d)
+            o += B * k_max * d
+            kp_att = out[o:o + B * k_max].reshape(B, k_max)
+            num = out[-B:].astype(np.int32)
+            return kp, feats, kp_att, num
+
+        def fn(variables, packed_np):
+            return unpack(np.asarray(impl(variables, jnp.asarray(packed_np))))
+
+        fn.impl = impl
+        fn.unpack = unpack
+        self._extract_fns[key] = fn
+        return fn
+
+    def extract_batch(self, clouds,
+                      rng: Optional[np.random.RandomState] = None):
+        """Extract keypoints + descriptors for SEVERAL clouds in ONE device
+        dispatch (latency-batched serving for small-cloud streams, e.g.
+        KITTI frames). Per-cloud results are bit-equal to extract() —
+        clouds are isolated by cloud-pure hitmasks, not coordinate shifts.
+        All clouds share the largest required point bucket. Falls back to
+        sequential extract() off the single-device hashed path.
+
+        Returns a list of InferenceResult in input order.
+        """
+        clouds = list(clouds)
+        if not (self._use_hashed() and self.mesh is None) or len(clouds) == 1:
+            return [self.extract(c, rng=rng) for c in clouds]
+        if rng is not None:
+            clouds = [c[rng.permutation(c.shape[0])] for c in clouds]
+
+        from feat3dnet_tpu.ops.hash_grid import build_sorted_cloud_host
+
+        B = len(clouds)
+        n_bucket = max(bucket_for(min(c.shape[0], self.icfg.num_points)
+                                  if self.icfg.num_points > 0 else c.shape[0])
+                       for c in clouds)
+        pts4_u, inv_u = [], []
+        for c in clouds:
+            if self.icfg.num_points > 0:
+                c = c[:self.icfg.num_points]
+            n = c.shape[0]
+            padded = np.zeros((n_bucket, 3), np.float32)
+            padded[:n] = c[:, :3]
+            valid = np.zeros((n_bucket,), bool)
+            valid[:n] = True
+            sc = build_sorted_cloud_host(
+                padded, valid, cell_size=float(self.mcfg.base_scale),
+                block_size=self._HASH_BLOCK)
+            pts4_u.append(sc.pts4.ravel())
+            inv_u.append(sc.inv_perm.astype(np.float32))
+        packed = np.concatenate(pts4_u + inv_u)
+        kp, feats, kp_att, num = self._extract_batch_fn(B, n_bucket)(
+            self.variables, packed)
+        return [InferenceResult(keypoints=kp[i, :num[i]],
+                                features=feats[i, :num[i]],
+                                attention=kp_att[i, :num[i]],
+                                num_keypoints=int(num[i]))
+                for i in range(B)]
+
     def process_directory(self, data_dir: str, output_dir: str,
                           data_dim: int = 6,
                           keypoints_dir: Optional[str] = None,

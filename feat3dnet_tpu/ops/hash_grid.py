@@ -236,12 +236,20 @@ def _tile_bbox(centers: Array, tile: int) -> Array:
          jnp.zeros((c.shape[0], 2), jnp.float32)], axis=1)
 
 
-def _block_hitmask(tbox: Array, blk_bbox: Array, r2: float) -> Array:
+def _block_hitmask(tbox: Array, blk_bbox: Array, r2: float,
+                   block_mask: Optional[Array] = None) -> Array:
     """Exact bbox-to-bbox gap test, vectorized in XLA, bit-packed for SMEM.
 
     tbox: (Ti, 8) center-tile bboxes; blk_bbox: (NB, 8) point-block bboxes.
     Returns (Ti, ceil(NB/32)) int32 bitmask — bit j of word j//32 says block
     j's bbox comes within `sqrt(r2)` of the tile's bbox.
+
+    block_mask: optional (Ti, NB) bool ANDed into the hit test. Batched
+    multi-cloud extraction packs several clouds into one sorted layout
+    with cloud-pure tiles/blocks and passes tile_cloud==block_cloud here,
+    which isolates the clouds exactly WITHOUT shifting coordinates
+    (shifts would perturb the f32 offsets and break bit-parity with the
+    per-cloud extraction).
     """
     nb = blk_bbox.shape[0]
     tiles = tbox.shape[0]
@@ -249,6 +257,8 @@ def _block_hitmask(tbox: Array, blk_bbox: Array, r2: float) -> Array:
     hi = tbox[:, None, :3] - blk_bbox[None, :, 3:6]
     gap = jnp.maximum(jnp.maximum(lo, hi), 0.0)
     hit = jnp.sum(gap * gap, axis=-1) < r2                   # (Ti, NB)
+    if block_mask is not None:
+        hit = hit & block_mask
     nbw = -(-nb // 32)
     hit_p = jnp.pad(hit, ((0, 0), (0, nbw * 32 - nb)))
     bits = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
@@ -606,7 +616,8 @@ def _block_major_rows(ptsT: Array, L: int) -> Array:
     return ptsT.reshape(8, nb, L).transpose(1, 0, 2).reshape(nb * 8, L)
 
 
-def _merge_prologue_t(sc_pts4, sc_blk_bbox, centers, radius, tc):
+def _merge_prologue_t(sc_pts4, sc_blk_bbox, centers, radius, tc,
+                      block_mask=None):
     """Shared transposed-driver prologue: tile-pad centers (_FAR_CENTER
     sentinels), hitmask, and the transposed payload assemblies. Returns
     (m, mp, tiles, nb, L, r2, hitmask, ctrT (8, Mp), ptsT_ext (8, Np))."""
@@ -619,7 +630,13 @@ def _merge_prologue_t(sc_pts4, sc_blk_bbox, centers, radius, tc):
                         constant_values=_FAR_CENTER)
     mp = m + pad
     r2 = float(radius) ** 2
-    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
+    if block_mask is not None:
+        assert block_mask.shape == (mp // tc, nb), (
+            f"block_mask {block_mask.shape} != (tiles={mp // tc}, nb={nb}) "
+            f"— provide it for TILE-PADDED centers (callers pass tc-aligned "
+            f"center counts in batch mode)")
+    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2,
+                             block_mask)
     ctrT = jnp.concatenate(
         [centers_p.T, jnp.zeros((5, mp), jnp.float32)], axis=0)
     ptsT_ext = jnp.concatenate(
@@ -644,14 +661,15 @@ def _merge_epilogue_t(topx, topy, topz, topk, cnt, tiles, ns, tc, mp, m):
 @partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
 def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                      radius: float, nsample: int, tile: int = 128,
-                     interpret: Optional[bool] = None):
+                     interpret: Optional[bool] = None,
+                     block_mask: Optional[Array] = None):
     """Transposed-merge driver — same contract as _bq_sorted_raw."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ns = nsample
     tc = tile
     m, mp, tiles, nb, L, r2, hitmask, ctrT, ptsT_ext = _merge_prologue_t(
-        sc_pts4, sc_blk_bbox, centers, radius, tc)
+        sc_pts4, sc_blk_bbox, centers, radius, tc, block_mask)
 
     def _plane_spec():
         return pl.BlockSpec((ns, tc), lambda i, j: (i, 0),
@@ -744,7 +762,8 @@ def _bq_kernel_t_fori(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
 @partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
 def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                           radius: float, nsample: int, tile: int = 128,
-                          interpret: Optional[bool] = None):
+                          interpret: Optional[bool] = None,
+                          block_mask: Optional[Array] = None):
     """Whole-cloud-in-VMEM fori-loop driver — same contract (and bit-equal
     outputs) as _bq_sorted_raw_t."""
     if interpret is None:
@@ -752,7 +771,7 @@ def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
     ns = nsample
     tc = tile
     m, mp, tiles, nb, L, r2, hitmask, ctrT, ptsT_ext = _merge_prologue_t(
-        sc_pts4, sc_blk_bbox, centers, radius, tc)
+        sc_pts4, sc_blk_bbox, centers, radius, tc, block_mask)
     ptsT_blocks = _block_major_rows(ptsT_ext, L)
 
     def _plane_spec():
@@ -794,7 +813,8 @@ def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
 @partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
 def _bq_sorted_raw(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                    radius: float, nsample: int, tile: int = 128,
-                   interpret: Optional[bool] = None):
+                   interpret: Optional[bool] = None,
+                   block_mask: Optional[Array] = None):
     """Kernel driver: centers (M, 3) (spatially ordered) -> raw merge buffer
     (M, ns, 4) [xyz | orig-or-inf] and counts (M,).
 
@@ -818,7 +838,8 @@ def _bq_sorted_raw(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
     tiles = mp // tc
     nb = sc_blk_bbox.shape[0]
     r2 = float(radius) ** 2
-    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
+    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2,
+                             block_mask)
     pts4T = sc_pts4.T                                        # (4, Np)
 
     def _plane_spec():
@@ -864,6 +885,7 @@ def ball_query_grouped_sorted(
     sc: SortedCloud, centers: Array, radius: float, nsample: int,
     tile: int = 128, interpret: Optional[bool] = None,
     max_fori_points: Optional[int] = None,
+    block_mask: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """Exact grouped ball query against a Morton-sorted cloud.
 
@@ -892,7 +914,7 @@ def ball_query_grouped_sorted(
         raw = _bq_sorted_raw
     top, cnt_raw = raw(sc.pts4, sc.blk_bbox, centers,
                        float(radius), nsample, tile=tile,
-                       interpret=interpret)
+                       interpret=interpret, block_mask=block_mask)
     return _finish_grouped(top, cnt_raw, centers, nsample)
 
 
@@ -1052,7 +1074,8 @@ def ball_max_sorted(sc_pts4: Array, sc_blk_bbox: Array, values: Array,
                     radius: float, tile: int = 512,
                     interpret: Optional[bool] = None,
                     centers: Optional[Array] = None,
-                    max_fori_points: Optional[int] = None) -> Array:
+                    max_fori_points: Optional[int] = None,
+                    block_mask: Optional[Array] = None) -> Array:
     """Per center, the max of `values` over its radius ball.
 
     This is the NMS primitive: a point is a keypoint iff its attention
@@ -1092,7 +1115,11 @@ def ball_max_sorted(sc_pts4: Array, sc_blk_bbox: Array, values: Array,
         [centers_p, jnp.zeros((mp, 1), jnp.float32)], axis=1)
     nb = sc_blk_bbox.shape[0]
     r2 = float(radius) ** 2
-    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2)
+    if block_mask is not None:
+        assert block_mask.shape == (mp // tc, nb), (
+            f"block_mask {block_mask.shape} != ({mp // tc}, {nb})")
+    hitmask = _block_hitmask(_tile_bbox(centers_p, tc), sc_blk_bbox, r2,
+                             block_mask)
     # block-major transposed payload (rows x/y/z/val per block) — lane-clean
     # under T(8,128) so the fori variant can keep the whole cloud VMEM-
     # resident without the 32× (Np, 4) lane padding (see _ballmax_kernel)

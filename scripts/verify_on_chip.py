@@ -139,15 +139,25 @@ def phase_hashed_extract():
     model = Feat3DNet(cfg)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)),
                    training=False)
-    hashed = InferencePipeline(
-        model, v, cfg, InferenceConfig(use_hashed_grouping=True)).extract(cloud)
+    pipe_h = InferencePipeline(
+        model, v, cfg, InferenceConfig(use_hashed_grouping=True))
+    hashed = pipe_h.extract(cloud)
     dense = InferencePipeline(
         model, v, cfg, InferenceConfig(use_hashed_grouping=False)).extract(cloud)
     kp_eq = (hashed.num_keypoints == dense.num_keypoints
              and np.allclose(hashed.keypoints, dense.keypoints, atol=1e-6))
     feat_close = np.allclose(hashed.features, dense.features,
                              rtol=1e-4, atol=1e-5)
+    # batched multi-cloud dispatch: per-cloud results must be BIT-equal to
+    # the single-cloud extract (cloud-pure hitmask isolation, no shifts)
+    rng = np.random.RandomState(3)
+    other = cloud[:, :3] + rng.randn(1, 3).astype(np.float32)
+    batch = pipe_h.extract_batch([cloud, other])
+    batch_eq = (batch[0].num_keypoints == hashed.num_keypoints
+                and np.array_equal(batch[0].keypoints, hashed.keypoints)
+                and np.array_equal(batch[0].features, hashed.features))
     return {"ok_keypoints": bool(kp_eq), "ok_features": bool(feat_close),
+            "ok_batch_equal": bool(batch_eq),
             "num_keypoints": int(hashed.num_keypoints)}
 
 

@@ -201,6 +201,41 @@ def test_hashed_extract_nms_matches_dense(rng):
     np.testing.assert_allclose(res_h.attention, res_x.attention, rtol=1e-5, atol=1e-6)
 
 
+def test_extract_batch_matches_single(rng):
+    """extract_batch packs B clouds into one dispatch; per-cloud results
+    must be BIT-equal to extract() on each cloud alone (cloud-pure
+    hitmask isolation, no coordinate shifts; results are bucket-size
+    independent because pad points/blocks never enter a real ball)."""
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 3)),
+                   training=False)
+    v = jax.tree.map(lambda x: x + 0.1 * rng.randn(*x.shape).astype(np.float32), v)
+
+    # three clouds of different sizes, overlapping coordinate ranges (the
+    # isolation must come from the hitmask, not from spatial separation)
+    clouds = [_clouds(rng, n, spread=15.0, clusters=3)
+              for n in (700, 450, 900)]
+    pipe = InferencePipeline(model, v, cfg,
+                             InferenceConfig(use_hashed_grouping=True,
+                                             keypoint_chunk=256,
+                                             max_keypoints=64,
+                                             nms_radius=1.0))
+    batch = pipe.extract_batch(clouds)
+    singles = [pipe.extract(c) for c in clouds]
+    for rb, rs in zip(batch, singles):
+        assert rb.num_keypoints == rs.num_keypoints
+        np.testing.assert_array_equal(rb.keypoints, rs.keypoints)
+        np.testing.assert_array_equal(rb.attention, rs.attention)
+        np.testing.assert_array_equal(rb.features, rs.features)
+
+
 def test_host_sort_matches_device_sort(rng):
     """build_sorted_cloud_host (numpy, pipeline path) must produce the
     exact same layout as the in-jit device version."""
