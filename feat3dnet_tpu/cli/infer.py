@@ -23,6 +23,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nms_radius", type=float, default=0.5)
     p.add_argument("--min_response_ratio", type=float, default=1e-2)
     p.add_argument("--max_keypoints", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="clouds packed per device dispatch (extract_batch; "
+                        "per-cloud results are bit-equal to batch_size=1)")
+    p.add_argument("--use_fused_detector", action="store_true",
+                   help="fused detector-only Pallas kernel for the "
+                        "attention pass (faster; serving-envelope rounding "
+                        "vs the default XLA path)")
     p.add_argument("--data_dir", type=str, required=True)
     p.add_argument("--checkpoint", type=str, default=None, help="Orbax checkpoint dir")
     p.add_argument("--tf1_checkpoint", type=str, default=None, help="TF1 npz export")
@@ -53,7 +60,8 @@ def main(argv=None):
                            min_response_ratio=args.min_response_ratio,
                            max_keypoints=args.max_keypoints,
                            num_points=args.num_points,
-                           randomize_points=args.randomize_points)
+                           randomize_points=args.randomize_points,
+                           use_fused_detector=args.use_fused_detector)
 
     model = get_network(args.model)(mcfg)
     state, _ = init_state(model, TrainConfig(num_points=512), mcfg, jax.random.PRNGKey(0))
@@ -77,7 +85,8 @@ def main(argv=None):
     n = pipe.process_directory(args.data_dir, args.output_dir,
                                data_dim=args.data_dim,
                                keypoints_dir=args.use_keypoints_from,
-                               log=logger.info)
+                               log=logger.info,
+                               batch_size=args.batch_size)
     logger.info("Done: %d files", n)
 
 

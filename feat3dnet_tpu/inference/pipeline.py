@@ -769,12 +769,31 @@ class InferencePipeline:
     def process_directory(self, data_dir: str, output_dir: str,
                           data_dim: int = 6,
                           keypoints_dir: Optional[str] = None,
-                          log=print) -> int:
+                          log=print, batch_size: int = 1) -> int:
         """Directory driver (reference compute_descriptors, inference.py:66-180):
-        extract for every .bin in data_dir, write [xyz | desc] .bin outputs."""
+        extract for every .bin in data_dir, write [xyz | desc] .bin outputs.
+
+        batch_size > 1 packs that many clouds per device dispatch via
+        extract_batch (bit-equal per-cloud results; falls back to the
+        per-cloud loop for external keypoints / randomize_points)."""
         os.makedirs(output_dir, exist_ok=True)
         bins = sorted(f for f in os.listdir(data_dir) if f.endswith(".bin"))
         rng = np.random.RandomState(0) if self.icfg.randomize_points else None
+
+        if batch_size > 1 and keypoints_dir is None and rng is None:
+            done = 0
+            for i0 in range(0, len(bins), batch_size):
+                chunk = bins[i0:i0 + batch_size]
+                clouds = [load_point_cloud(os.path.join(data_dir, f),
+                                           num_cols=data_dim) for f in chunk]
+                for fname, res in zip(chunk, self.extract_batch(clouds)):
+                    save_descriptors(os.path.join(output_dir, fname),
+                                     res.keypoints, res.features)
+                    done += 1
+                    log(f"Processed {done}/{len(bins)}: {fname} "
+                        f"({res.num_keypoints} keypoints)")
+            return len(bins)
+
         for i, fname in enumerate(bins):
             cloud = load_point_cloud(os.path.join(data_dir, fname), num_cols=data_dim)
             ext_kp = None

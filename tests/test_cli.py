@@ -70,7 +70,7 @@ def test_train_cli_two_stage_and_infer(tiny_dataset, tmp_path):
                 "--output_dir", out_dir,
                 "--checkpoint", os.path.join(stage2_dir, "ckpt"),
                 "--num_samples", "8", "--feature_dim", "16",
-                "--max_keypoints", "16"])
+                "--max_keypoints", "16", "--batch_size", "2"])
     outs = [f for f in os.listdir(out_dir) if f.endswith(".bin")]
     assert len(outs) == 4
 
