@@ -54,10 +54,12 @@ def main():
     clouds = [base + rng.randn(1, 3).astype(np.float32) * 0.3
               for _ in range(args.n)]
 
-    # warm all three paths
+    bs = max(2, args.n // 2)
+    # warm all four paths
     pipe.extract(clouds[0])
     pipe.extract_batch(clouds)
     pipe.extract_many(clouds)
+    pipe.extract_many(clouds, batch_size=bs)
 
     results = {}
     for _ in range(3):
@@ -73,6 +75,10 @@ def main():
         t0 = time.time()
         pipe.extract_batch(clouds)
         results.setdefault("extract_batch", []).append(time.time() - t0)
+
+        t0 = time.time()
+        pipe.extract_many(clouds, batch_size=bs)
+        results.setdefault(f"many bs={bs}", []).append(time.time() - t0)
 
     n = len(clouds)
     for k, ts in results.items():

@@ -541,8 +541,16 @@ class InferencePipeline:
         )
 
     def extract_many(self, clouds, rng: Optional[np.random.RandomState] = None,
-                     depth: int = 2, prep_workers: int = 1):
+                     depth: int = 2, prep_workers: int = 1,
+                     batch_size: int = 1):
         """Pipelined extraction over many clouds (throughput mode).
+
+        batch_size > 1 additionally packs that many clouds per device
+        dispatch (extract_batch semantics — per-cloud results bit-equal),
+        composing the dispatch amortization with the prep/compute
+        pipelining. Best for small-cloud streams; keep
+        batch_size · bucket ≤ 131072 so the union stays on the fori merge
+        driver.
 
         Three overlapping stages: (1) host Morton sort + packing runs in a
         `prep_workers`-thread pool while (2) the device computes earlier
@@ -576,22 +584,45 @@ class InferencePipeline:
         if rng is not None:
             clouds = [c[rng.permutation(c.shape[0])] for c in clouds]
 
-        def prep(cloud):
-            _, n_bucket, padded, valid = self._pad_to_bucket(cloud, None)
-            packed, s_att, s_nms = self._host_sort_packed(padded, valid)
-            return n_bucket, (s_att, s_nms), packed
+        if batch_size > 1:
+            units = [clouds[i:i + batch_size]
+                     for i in range(0, len(clouds), batch_size)]
+
+            def prep(chunk):
+                B, n_bucket, packed = self._batch_prep(chunk)
+                return (B, n_bucket), packed
+
+            # fn builders mutate the executable cache — resolve on the
+            # MAIN thread only (prep threads return just the cache key)
+            def resolve(key):
+                return self._extract_batch_fn(*key)
+
+            def finish(item):
+                fn, dev = item
+                return self._batch_results(fn.unpack(np.asarray(dev)))
+        else:
+            units = clouds
+
+            def prep(cloud):
+                _, n_bucket, padded, valid = self._pad_to_bucket(cloud, None)
+                packed, s_att, s_nms = self._host_sort_packed(padded, valid)
+                return (n_bucket, (s_att, s_nms)), packed
+
+            def resolve(key):
+                return self._extract_fn(*key)
+
+            def finish(item):
+                fn, dev = item
+                kp, feats, kp_att, num_kp = fn.unpack(np.asarray(dev))
+                return [InferenceResult(
+                    keypoints=kp[:num_kp], features=feats[:num_kp],
+                    attention=kp_att[:num_kp], num_keypoints=num_kp)]
 
         results = []
         inflight: deque = deque()
 
-        def finish(item):
-            fn, dev = item
-            kp, feats, kp_att, num_kp = fn.unpack(np.asarray(dev))
-            return InferenceResult(keypoints=kp[:num_kp], features=feats[:num_kp],
-                                   attention=kp_att[:num_kp], num_keypoints=num_kp)
-
         with ThreadPoolExecutor(max_workers=prep_workers) as pool:
-            it = iter(clouds)
+            it = iter(units)
             futs: deque = deque()
 
             def submit_next():
@@ -602,15 +633,15 @@ class InferencePipeline:
             for _ in range(depth + prep_workers):
                 submit_next()
             while futs:
-                n_bucket, csr_sizes, packed = futs.popleft().result()
+                key, packed = futs.popleft().result()
                 submit_next()
-                fn = self._extract_fn(n_bucket, csr_sizes)
+                fn = resolve(key)
                 dev = fn.impl(self.variables, jnp.asarray(packed))   # async
                 inflight.append((fn, dev))
                 if len(inflight) >= depth:
-                    results.append(finish(inflight.popleft()))
+                    results.extend(finish(inflight.popleft()))
             while inflight:
-                results.append(finish(inflight.popleft()))
+                results.extend(finish(inflight.popleft()))
         return results
 
     def _extract_batch_fn(self, n_clouds: int, n_bucket: int):
@@ -720,26 +751,12 @@ class InferencePipeline:
         self._extract_fns[key] = fn
         return fn
 
-    def extract_batch(self, clouds,
-                      rng: Optional[np.random.RandomState] = None):
-        """Extract keypoints + descriptors for SEVERAL clouds in ONE device
-        dispatch (latency-batched serving for small-cloud streams, e.g.
-        KITTI frames). Per-cloud results are bit-equal to extract() —
-        clouds are isolated by cloud-pure hitmasks, not coordinate shifts.
-        All clouds share the largest required point bucket. Falls back to
-        sequential extract() off the single-device hashed path.
-
-        Returns a list of InferenceResult in input order.
-        """
-        clouds = list(clouds)
-        if not (self._use_hashed() and self.mesh is None) or len(clouds) == 1:
-            return [self.extract(c, rng=rng) for c in clouds]
-        if rng is not None:
-            clouds = [c[rng.permutation(c.shape[0])] for c in clouds]
-
+    def _batch_prep(self, clouds):
+        """Host prep for extract_batch: per-cloud Morton layouts at the
+        shared bucket, one packed upload buffer. Returns (B, bucket,
+        packed)."""
         from feat3dnet_tpu.ops.hash_grid import build_sorted_cloud_host
 
-        B = len(clouds)
         n_bucket = max(bucket_for(min(c.shape[0], self.icfg.num_points)
                                   if self.icfg.num_points > 0 else c.shape[0])
                        for c in clouds)
@@ -757,14 +774,36 @@ class InferencePipeline:
                 block_size=self._HASH_BLOCK)
             pts4_u.append(sc.pts4.ravel())
             inv_u.append(sc.inv_perm.astype(np.float32))
-        packed = np.concatenate(pts4_u + inv_u)
-        kp, feats, kp_att, num = self._extract_batch_fn(B, n_bucket)(
-            self.variables, packed)
+        return len(clouds), n_bucket, np.concatenate(pts4_u + inv_u)
+
+    @staticmethod
+    def _batch_results(unpacked):
+        kp, feats, kp_att, num = unpacked
         return [InferenceResult(keypoints=kp[i, :num[i]],
                                 features=feats[i, :num[i]],
                                 attention=kp_att[i, :num[i]],
                                 num_keypoints=int(num[i]))
-                for i in range(B)]
+                for i in range(kp.shape[0])]
+
+    def extract_batch(self, clouds,
+                      rng: Optional[np.random.RandomState] = None):
+        """Extract keypoints + descriptors for SEVERAL clouds in ONE device
+        dispatch (latency-batched serving for small-cloud streams, e.g.
+        KITTI frames). Per-cloud results are bit-equal to extract() —
+        clouds are isolated by cloud-pure hitmasks, not coordinate shifts.
+        All clouds share the largest required point bucket. Falls back to
+        sequential extract() off the single-device hashed path.
+
+        Returns a list of InferenceResult in input order.
+        """
+        clouds = list(clouds)
+        if not (self._use_hashed() and self.mesh is None) or len(clouds) == 1:
+            return [self.extract(c, rng=rng) for c in clouds]
+        if rng is not None:
+            clouds = [c[rng.permutation(c.shape[0])] for c in clouds]
+        B, n_bucket, packed = self._batch_prep(clouds)
+        return self._batch_results(
+            self._extract_batch_fn(B, n_bucket)(self.variables, packed))
 
     def process_directory(self, data_dir: str, output_dir: str,
                           data_dim: int = 6,

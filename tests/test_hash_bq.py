@@ -236,6 +236,36 @@ def test_extract_batch_matches_single(rng):
         np.testing.assert_array_equal(rb.features, rs.features)
 
 
+def test_extract_many_batched_matches_single(rng):
+    """extract_many(batch_size=2) — pipelined batched dispatches — must
+    return the same per-cloud results as extract(), in input order,
+    including the odd trailing chunk."""
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 3)),
+                   training=False)
+    v = jax.tree.map(lambda x: x + 0.1 * rng.randn(*x.shape).astype(np.float32), v)
+    clouds = [_clouds(rng, n, spread=12.0, clusters=2)
+              for n in (500, 650, 400)]                  # 3 clouds, B=2 + 1
+    pipe = InferencePipeline(model, v, cfg,
+                             InferenceConfig(use_hashed_grouping=True,
+                                             keypoint_chunk=256,
+                                             max_keypoints=32,
+                                             nms_radius=1.0))
+    many = pipe.extract_many(clouds, batch_size=2)
+    for rm, c in zip(many, clouds):
+        rs = pipe.extract(c)
+        assert rm.num_keypoints == rs.num_keypoints
+        np.testing.assert_array_equal(rm.keypoints, rs.keypoints)
+        np.testing.assert_array_equal(rm.features, rs.features)
+
+
 def test_host_sort_matches_device_sort(rng):
     """build_sorted_cloud_host (numpy, pipeline path) must produce the
     exact same layout as the in-jit device version."""
