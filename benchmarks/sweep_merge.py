@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--points", type=int, default=120000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--configs", default="256x128,128x128,128x256,512x128,256x256")
+    ap.add_argument("--cloud", default="synthetic",
+                    choices=("synthetic", "oxford", "kitti"),
+                    help="oxford/kitti sweep the bundled real clouds "
+                         "(per-bucket tuning — ROADMAP item 6)")
     args = ap.parse_args()
 
     import jax
@@ -31,37 +35,46 @@ def main():
     from feat3dnet_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    rng = np.random.RandomState(0)
-    big = np.concatenate([
-        rng.rand(args.points, 3).astype(np.float32)
-        * np.array([100, 100, 10], np.float32),
-        np.zeros((args.points, 3), np.float32)], axis=1)
+    if args.cloud == "synthetic":
+        rng = np.random.RandomState(0)
+        big = np.concatenate([
+            rng.rand(args.points, 3).astype(np.float32)
+            * np.array([100, 100, 10], np.float32),
+            np.zeros((args.points, 3), np.float32)], axis=1)
+    else:
+        from feat3dnet_tpu.data.io import example_cloud_path, load_point_cloud
+        fname = ("oxford_270.bin" if args.cloud == "oxford"
+                 else "kitti_00_001554.bin")
+        big = load_point_cloud(example_cloud_path(fname), num_cols=6)
 
     cfg = ModelConfig(num_clusters=-1)
     model = Feat3DNet(cfg)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)),
                    training=False)
 
+    pipes = {}
     ref_kp = None
     for spec in args.configs.split(","):
         L, tc = (int(x) for x in spec.split("x"))
-        pipe = InferencePipeline(
+        pipes[spec] = InferencePipeline(
             model, v, cfg, InferenceConfig(hash_block=L, hash_tile=tc))
         t0 = time.time()
-        res = pipe.extract(big)
-        print(f"L={L} tc={tc}: compile+first {time.time()-t0:.1f}s", flush=True)
-        ts = []
-        for i in range(args.repeats):
-            t0 = time.time()
-            res = pipe.extract(big * (1.0 + 1e-5 * (i + 1)))
-            ts.append(time.time() - t0)
-        print(f"L={L} tc={tc}: warm median {np.median(ts):.3f}s "
-              f"({res.num_keypoints} kp)", flush=True)
+        res = pipes[spec].extract(big)
+        print(f"{spec}: compile+first {time.time()-t0:.1f}s", flush=True)
         if ref_kp is None:
             ref_kp = res.num_keypoints
         elif res.num_keypoints != ref_kp:
             print(f"  WARNING: keypoint count {res.num_keypoints} != {ref_kp}",
                   flush=True)
+    # INTERLEAVED warm timing (single-process sequential sweeps drift ±15%)
+    times = {k: [] for k in pipes}
+    for i in range(args.repeats):
+        for spec, pipe in pipes.items():
+            t0 = time.time()
+            pipe.extract(big * (1.0 + 1e-5 * (i + 1)))
+            times[spec].append(time.time() - t0)
+    for spec in pipes:
+        print(f"{spec}: warm median {np.median(times[spec]):.3f}s", flush=True)
 
 
 if __name__ == "__main__":

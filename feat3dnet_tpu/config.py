@@ -123,14 +123,15 @@ class InferenceConfig:
     # perturbed cloud crosses a power-of-two hit-count boundary. CSR stays
     # available for sparse workloads where the hit fraction is tiny.
     use_csr_kernels: bool = False
-    # Run the attention pass's detector tower as the fused detector-only
-    # Pallas kernel (ops/fused_describe.fused_detect_clusters_2d) instead
-    # of the chunked XLA model path. The chunked path materializes every
-    # (chunk, ns, C) inter-layer activation in HBM (~50 GB at a 131k
-    # bucket); the fused kernel streams 12 B/cluster out. OPT-IN because
-    # its attention differs from the XLA path in matmul rounding (serving
-    # envelope, cosine >= 0.9999) — the default stays bit-compatible with
-    # the dense reference pipeline.
+    # Run the extraction's tower passes through the fused Pallas serving
+    # kernels: the attention pass as the detector-only kernel
+    # (fused_detect_clusters_2d — the chunked XLA path materializes every
+    # (chunk, ns, C) inter-layer activation in HBM, ~50 GB at a 131k
+    # bucket, where the kernel streams 12 B/cluster out) and the
+    # descriptor pass at the NMS keypoints as the whole-forward kernel
+    # (fused_describe_clusters_2d). OPT-IN because both differ from the
+    # XLA path in matmul rounding (serving envelope, cosine >= 0.9999) —
+    # the default stays bit-compatible with the dense reference pipeline.
     use_fused_detector: bool = False
 
 

@@ -367,18 +367,30 @@ class InferencePipeline:
                 # inv_perm maps ORIGINAL index -> sorted row (cloud above is
                 # pts4[inv_perm]), so it converts kp_idx directly.
                 kp_s = inv_perm[kp_idx[0]]                   # sorted-domain idx
-                normalized_kp = (grouped[kp_s]
-                                 - centers_sorted[kp_s][:, None, :]) / r
-                if self.mcfg.regress_orientation:
-                    from feat3dnet_tpu.models.feat3dnet import _rotate_z
+                offs_kp = grouped[kp_s] - centers_sorted[kp_s][:, None, :]
+                if icfg.use_fused_detector:
+                    # same opt-in as the detector: the whole-forward fused
+                    # serving kernel on the gathered keypoint clusters (it
+                    # re-derives membership/orientation internally — the
+                    # serving rounding envelope, gate-checked)
+                    from feat3dnet_tpu.ops.fused_describe import (
+                        folded_weights, fused_describe_clusters_2d)
 
-                    normalized_kp = _rotate_z(normalized_kp[None],
-                                              ori_s[kp_s][None])
+                    feats, _ = fused_describe_clusters_2d(
+                        folded_weights(variables, self.mcfg), offs_kp,
+                        self.mcfg)
                 else:
-                    normalized_kp = normalized_kp[None]
-                feats = self.model.apply(
-                    variables, normalized_kp, training=False,
-                    method=Feat3DNet.describe_clusters)[0]
+                    normalized_kp = offs_kp / r
+                    if self.mcfg.regress_orientation:
+                        from feat3dnet_tpu.models.feat3dnet import _rotate_z
+
+                        normalized_kp = _rotate_z(normalized_kp[None],
+                                                  ori_s[kp_s][None])
+                    else:
+                        normalized_kp = normalized_kp[None]
+                    feats = self.model.apply(
+                        variables, normalized_kp, training=False,
+                        method=Feat3DNet.describe_clusters)[0]
                 # one flat f32 download buffer — see _host_sort_packed
                 return jnp.concatenate([
                     kp[0].ravel(), feats.ravel(), kp_att[0].ravel(),
@@ -721,14 +733,25 @@ class InferencePipeline:
             rows = (jnp.take_along_axis(inv_perm, kp_idx, 1)
                     + jnp.arange(B, dtype=jnp.int32)[:, None] * nb)
             clusters = grouped[rows.reshape(-1)].reshape(B, k_max, ns, 3)
-            normalized = (clusters - kp[:, :, None, :]) / r
-            if self.mcfg.regress_orientation:
-                from feat3dnet_tpu.models.feat3dnet import _rotate_z
+            offs = clusters - kp[:, :, None, :]
+            if icfg.use_fused_detector:
+                from feat3dnet_tpu.ops.fused_describe import (
+                    folded_weights, fused_describe_clusters_2d)
 
-                normalized = _rotate_z(normalized,
-                                       ori_s[rows.reshape(-1)].reshape(B, k_max))
-            feats = self.model.apply(variables, normalized, training=False,
-                                     method=Feat3DNet.describe_clusters)
+                f_flat, _ = fused_describe_clusters_2d(
+                    folded_weights(variables, self.mcfg),
+                    offs.reshape(B * k_max, ns, 3), self.mcfg)
+                feats = f_flat.reshape(B, k_max, -1)
+            else:
+                normalized = offs / r
+                if self.mcfg.regress_orientation:
+                    from feat3dnet_tpu.models.feat3dnet import _rotate_z
+
+                    normalized = _rotate_z(
+                        normalized, ori_s[rows.reshape(-1)].reshape(B, k_max))
+                feats = self.model.apply(variables, normalized,
+                                         training=False,
+                                         method=Feat3DNet.describe_clusters)
             return jnp.concatenate([
                 kp.ravel(), feats.ravel(), kp_att.ravel(),
                 num.astype(jnp.float32)])
