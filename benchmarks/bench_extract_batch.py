@@ -50,6 +50,14 @@ def main():
     else:
         base = load_point_cloud(example_cloud_path("oxford_270.bin"),
                                 num_cols=6)[:, :3]
+    # keep the packed union on the fori merge driver (B·bucket ≤ 131072 —
+    # past it the 2-D grid sequencing dominates; see extract_many docs)
+    from feat3dnet_tpu.config import bucket_for
+    n_max = max(1, 131072 // bucket_for(base.shape[0]))
+    if args.n > n_max:
+        print(f"capping --n {args.n} -> {n_max} "
+              f"(B·bucket ≤ 131072 fori ceiling)", flush=True)
+        args.n = n_max
     # distinct clouds: jitter each copy so executables see real variation
     clouds = [base + rng.randn(1, 3).astype(np.float32) * 0.3
               for _ in range(args.n)]

@@ -126,19 +126,27 @@ class InferencePipeline:
             return jax.default_backend() == "tpu"
         return flag
 
-    def _hashed_attention_sorted(self, n_bucket: int):
+    def _hashed_attention_sorted(self, n_bucket: int,
+                                 chunk_override: Optional[int] = None):
         """Traceable (variables, pts4, blk_bbox) -> (attention, orientation)
         in SORTED (Morton-block) point order, via the spatially-pruned
         grouping kernel (ops/hash_grid.py) + the detector tower on the
         precomputed clusters. Index-exact vs the dense path (selection is
         the ns smallest original indices, the same slot order), so the
-        attention values match the chunked XLA path."""
+        attention values match the chunked XLA path.
+
+        chunk_override: the batched extract passes the SINGLE-cloud chunk
+        size so each lax.map detector chunk is shape-identical (and, with
+        cloud-aligned boundaries, input-identical) to the single-cloud
+        path's chunks — the per-cloud bit-equality contract then does not
+        rest on XLA matmul results being invariant to the leading dim."""
         from feat3dnet_tpu.models.feat3dnet import Feat3DNet
         from feat3dnet_tpu.ops.hash_grid import SortedCloud, ball_query_grouped_sorted
 
         r = float(self.mcfg.base_scale)
         ns = self.mcfg.num_samples
-        chunk = self._chunk_size(n_bucket)
+        chunk = chunk_override or self._chunk_size(n_bucket)
+        assert n_bucket % chunk == 0
         n_chunks = n_bucket // chunk
 
         def detector_on_grouped(variables, grouped, centers_sorted):
@@ -261,6 +269,29 @@ class InferencePipeline:
         ])
         return packed, t_att.size, t_nms.size
 
+    def _describe_at_keypoints(self, variables, offs, ori):
+        """Descriptor tail shared by the single-cloud and batched fused
+        extracts: (M, ns, 3) RAW keypoint-cluster offsets (gathered from
+        the attention pass — no second ball query) + (M,) detector
+        orientations -> (M, D) descriptors. Routes through the fused
+        whole-forward serving kernel under use_fused_detector (it
+        re-derives membership/orientation internally — serving rounding
+        envelope), the bit-compatible XLA descriptor tower otherwise."""
+        if self.icfg.use_fused_detector:
+            from feat3dnet_tpu.ops.fused_describe import (
+                folded_weights, fused_describe_clusters_2d)
+
+            feats, _ = fused_describe_clusters_2d(
+                folded_weights(variables, self.mcfg), offs, self.mcfg)
+            return feats
+        normalized = offs[None] / float(self.mcfg.base_scale)
+        if self.mcfg.regress_orientation:
+            from feat3dnet_tpu.models.feat3dnet import _rotate_z
+
+            normalized = _rotate_z(normalized, ori[None])
+        return self.model.apply(variables, normalized, training=False,
+                                 method=Feat3DNet.describe_clusters)[0]
+
     def _extract_fn(self, n_bucket: int, csr_sizes: Optional[Tuple[int, int]] = None):
         """Fused single-dispatch extraction: attention everywhere (hashed
         CSR fast path on TPU, chunked XLA otherwise) → on-device NMS (the
@@ -368,29 +399,8 @@ class InferencePipeline:
                 # pts4[inv_perm]), so it converts kp_idx directly.
                 kp_s = inv_perm[kp_idx[0]]                   # sorted-domain idx
                 offs_kp = grouped[kp_s] - centers_sorted[kp_s][:, None, :]
-                if icfg.use_fused_detector:
-                    # same opt-in as the detector: the whole-forward fused
-                    # serving kernel on the gathered keypoint clusters (it
-                    # re-derives membership/orientation internally — the
-                    # serving rounding envelope, gate-checked)
-                    from feat3dnet_tpu.ops.fused_describe import (
-                        folded_weights, fused_describe_clusters_2d)
-
-                    feats, _ = fused_describe_clusters_2d(
-                        folded_weights(variables, self.mcfg), offs_kp,
-                        self.mcfg)
-                else:
-                    normalized_kp = offs_kp / r
-                    if self.mcfg.regress_orientation:
-                        from feat3dnet_tpu.models.feat3dnet import _rotate_z
-
-                        normalized_kp = _rotate_z(normalized_kp[None],
-                                                  ori_s[kp_s][None])
-                    else:
-                        normalized_kp = normalized_kp[None]
-                    feats = self.model.apply(
-                        variables, normalized_kp, training=False,
-                        method=Feat3DNet.describe_clusters)[0]
+                feats = self._describe_at_keypoints(variables, offs_kp,
+                                                    ori_s[kp_s])
                 # one flat f32 download buffer — see _host_sort_packed
                 return jnp.concatenate([
                     kp[0].ravel(), feats.ravel(), kp_att[0].ravel(),
@@ -596,39 +606,42 @@ class InferencePipeline:
         if rng is not None:
             clouds = [c[rng.permutation(c.shape[0])] for c in clouds]
 
+        def prep_single(cloud):
+            _, n_bucket, padded, valid = self._pad_to_bucket(cloud, None)
+            packed, s_att, s_nms = self._host_sort_packed(padded, valid)
+            return ("single", n_bucket, (s_att, s_nms)), packed
+
         if batch_size > 1:
             units = [clouds[i:i + batch_size]
                      for i in range(0, len(clouds), batch_size)]
 
             def prep(chunk):
+                if len(chunk) == 1:
+                    # a trailing singleton would compile a dedicated B=1
+                    # batch executable — the single-cloud one is identical
+                    return prep_single(chunk[0])
                 B, n_bucket, packed = self._batch_prep(chunk)
-                return (B, n_bucket), packed
-
-            # fn builders mutate the executable cache — resolve on the
-            # MAIN thread only (prep threads return just the cache key)
-            def resolve(key):
-                return self._extract_batch_fn(*key)
-
-            def finish(item):
-                fn, dev = item
-                return self._batch_results(fn.unpack(np.asarray(dev)))
+                return ("batch", B, n_bucket), packed
         else:
             units = clouds
+            prep = prep_single
 
-            def prep(cloud):
-                _, n_bucket, padded, valid = self._pad_to_bucket(cloud, None)
-                packed, s_att, s_nms = self._host_sort_packed(padded, valid)
-                return (n_bucket, (s_att, s_nms)), packed
+        # fn builders mutate the executable cache — resolve on the
+        # MAIN thread only (prep threads return just the cache key)
+        def resolve(key):
+            if key[0] == "batch":
+                return self._extract_batch_fn(*key[1:])
+            return self._extract_fn(*key[1:])
 
-            def resolve(key):
-                return self._extract_fn(*key)
-
-            def finish(item):
-                fn, dev = item
-                kp, feats, kp_att, num_kp = fn.unpack(np.asarray(dev))
-                return [InferenceResult(
-                    keypoints=kp[:num_kp], features=feats[:num_kp],
-                    attention=kp_att[:num_kp], num_keypoints=num_kp)]
+        def finish(item):
+            fn, dev = item
+            out = fn.unpack(np.asarray(dev))
+            if len(out[0].shape) == 3:                  # batched (B, K, 3)
+                return self._batch_results(out)
+            kp, feats, kp_att, num_kp = out
+            return [InferenceResult(
+                keypoints=kp[:num_kp], features=feats[:num_kp],
+                attention=kp_att[:num_kp], num_keypoints=num_kp)]
 
         results = []
         inflight: deque = deque()
@@ -689,8 +702,11 @@ class InferencePipeline:
         r = float(self.mcfg.base_scale)
         ns = self.mcfg.num_samples
         L, tc = self._HASH_BLOCK, self._HASH_TILE
-        core = self._hashed_attention_sorted(B * nb)
+        # single-cloud detector chunking — see _hashed_attention_sorted
+        core = self._hashed_attention_sorted(
+            B * nb, chunk_override=self._chunk_size(nb))
         d = self.mcfg.feature_dim
+        nms_tile = 512   # passed explicitly to ball_max_sorted below
 
         def cloud_mask(tile: int) -> np.ndarray:
             tpc, bpc = nb // tile, nb // L
@@ -698,7 +714,7 @@ class InferencePipeline:
                     == np.arange(B * bpc)[None, :] // bpc)
 
         mask_att = jnp.asarray(cloud_mask(tc))
-        mask_nms = jnp.asarray(cloud_mask(512))   # ball_max_sorted tile
+        mask_nms = jnp.asarray(cloud_mask(nms_tile))
 
         @jax.jit
         def impl(variables, packed):
@@ -717,7 +733,7 @@ class InferencePipeline:
                 variables, grouped, centers_sorted)
             ballmax = ball_max_sorted(pts4, blk_bbox, att_s,
                                       float(icfg.nms_radius),
-                                      block_mask=mask_nms)
+                                      tile=nms_tile, block_mask=mask_nms)
             is_max_s = att_s >= ballmax
             # per-cloud original order (inv_perm is per-cloud local)
             att_o = jnp.take_along_axis(att_s.reshape(B, nb), inv_perm, 1)
@@ -734,24 +750,9 @@ class InferencePipeline:
                     + jnp.arange(B, dtype=jnp.int32)[:, None] * nb)
             clusters = grouped[rows.reshape(-1)].reshape(B, k_max, ns, 3)
             offs = clusters - kp[:, :, None, :]
-            if icfg.use_fused_detector:
-                from feat3dnet_tpu.ops.fused_describe import (
-                    folded_weights, fused_describe_clusters_2d)
-
-                f_flat, _ = fused_describe_clusters_2d(
-                    folded_weights(variables, self.mcfg),
-                    offs.reshape(B * k_max, ns, 3), self.mcfg)
-                feats = f_flat.reshape(B, k_max, -1)
-            else:
-                normalized = offs / r
-                if self.mcfg.regress_orientation:
-                    from feat3dnet_tpu.models.feat3dnet import _rotate_z
-
-                    normalized = _rotate_z(
-                        normalized, ori_s[rows.reshape(-1)].reshape(B, k_max))
-                feats = self.model.apply(variables, normalized,
-                                         training=False,
-                                         method=Feat3DNet.describe_clusters)
+            feats = self._describe_at_keypoints(
+                variables, offs.reshape(B * k_max, ns, 3),
+                ori_s[rows.reshape(-1)]).reshape(B, k_max, -1)
             return jnp.concatenate([
                 kp.ravel(), feats.ravel(), kp_att.ravel(),
                 num.astype(jnp.float32)])
@@ -820,7 +821,7 @@ class InferencePipeline:
         Returns a list of InferenceResult in input order.
         """
         clouds = list(clouds)
-        if not (self._use_hashed() and self.mesh is None) or len(clouds) == 1:
+        if not (self._use_hashed() and self.mesh is None) or len(clouds) <= 1:
             return [self.extract(c, rng=rng) for c in clouds]
         if rng is not None:
             clouds = [c[rng.permutation(c.shape[0])] for c in clouds]

@@ -236,6 +236,78 @@ def test_extract_batch_matches_single(rng):
         np.testing.assert_array_equal(rb.features, rs.features)
 
 
+def test_block_mask_grid_drivers_match_fori(rng):
+    """Cross-cloud isolation (block_mask) must hold identically on the
+    2-D GRID drivers — the path taken when B·bucket exceeds the fori
+    VMEM ceilings, which the pipeline tests never reach (they run tiny
+    unions on the fori drivers)."""
+    from feat3dnet_tpu.ops.hash_grid import (SortedCloud, ball_max_sorted,
+                                             ball_query_grouped_sorted,
+                                             build_sorted_cloud_host)
+
+    L, tc, ns, r = 64, 32, 8, 1.5
+    nb = 256                                 # per-cloud bucket (4 blocks)
+    p4, att_parts = [], []
+    for i in range(3):                       # overlapping coordinate ranges
+        c = _clouds(rng, 200, spread=10.0, clusters=2)
+        pd = np.zeros((nb, 3), np.float32)
+        pd[:200] = c
+        vl = np.zeros((nb,), bool)
+        vl[:200] = True
+        p4.append(build_sorted_cloud_host(pd, vl, cell_size=r,
+                                          block_size=L).pts4)
+        att_parts.append(rng.rand(nb).astype(np.float32) + 0.1)
+    pts4 = jnp.asarray(np.concatenate(p4))
+    att = jnp.asarray(np.concatenate(att_parts))
+    centers = pts4[:, :3]
+    blocks = centers.reshape(-1, L, 3)
+    bbox = jnp.concatenate(
+        [jnp.min(blocks, axis=1), jnp.max(blocks, axis=1),
+         jnp.zeros((blocks.shape[0], 2), jnp.float32)], axis=1)
+    sc = SortedCloud(pts4=pts4, blk_bbox=bbox, orig_idx=None,
+                     inv_perm=None, block_size=0)
+    nbk = bbox.shape[0]
+    tpc, bpc = nb // tc, nb // L
+    mask = jnp.asarray(np.arange(3 * tpc)[:, None] // tpc
+                       == np.arange(3 * bpc)[None, :] // bpc)
+
+    g_f, i_f, c_f = ball_query_grouped_sorted(sc, centers, r, ns, tile=tc,
+                                              block_mask=mask)
+    g_g, i_g, c_g = ball_query_grouped_sorted(sc, centers, r, ns, tile=tc,
+                                              block_mask=mask,
+                                              max_fori_points=0)
+    np.testing.assert_array_equal(np.asarray(g_f), np.asarray(g_g))
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_g))
+    np.testing.assert_array_equal(np.asarray(c_f), np.asarray(c_g))
+
+    b_f = ball_max_sorted(pts4, bbox, att, 1.0, tile=nb,
+                          block_mask=jnp.asarray(
+                              np.arange(3)[:, None]
+                              == np.arange(3 * bpc)[None, :] // bpc))
+    b_g = ball_max_sorted(pts4, bbox, att, 1.0, tile=nb,
+                          block_mask=jnp.asarray(
+                              np.arange(3)[:, None]
+                              == np.arange(3 * bpc)[None, :] // bpc),
+                          max_fori_points=0)
+    np.testing.assert_array_equal(np.asarray(b_f), np.asarray(b_g))
+    # and the isolation itself: per-cloud results equal the union's slice
+    for i in range(3):
+        sub = SortedCloud(pts4=pts4[i * nb:(i + 1) * nb],
+                          blk_bbox=bbox[i * bpc:(i + 1) * bpc],
+                          orig_idx=None, inv_perm=None, block_size=0)
+        gs, _, cs = ball_query_grouped_sorted(
+            sub, pts4[i * nb:(i + 1) * nb, :3], r, ns, tile=tc)
+        np.testing.assert_array_equal(np.asarray(gs),
+                                      np.asarray(g_g[i * nb:(i + 1) * nb]))
+        np.testing.assert_array_equal(np.asarray(cs),
+                                      np.asarray(c_g[i * nb:(i + 1) * nb]))
+        bs = ball_max_sorted(pts4[i * nb:(i + 1) * nb],
+                             bbox[i * bpc:(i + 1) * bpc],
+                             att[i * nb:(i + 1) * nb], 1.0, tile=nb)
+        np.testing.assert_array_equal(np.asarray(bs),
+                                      np.asarray(b_g[i * nb:(i + 1) * nb]))
+
+
 def test_extract_many_batched_matches_single(rng):
     """extract_many(batch_size=2) — pipelined batched dispatches — must
     return the same per-cloud results as extract(), in input order,
