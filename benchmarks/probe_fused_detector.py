@@ -7,8 +7,14 @@ Interleaved same-session A/B (BENCHMARKS.md session-drift rule) on the
 synthetic 120k submap, the kitti 29k cloud, and oxford 16k, plus an
 agreement check (keypoint overlap + attention tolerance) at full scale.
 
-    python benchmarks/probe_fused_detector.py
-"""
+    python benchmarks/probe_fused_detector.py [--ckpt DIR]
+
+--ckpt points at an Orbax checkpoint directory (e.g. the stage-2 run of
+examples/scaled_accuracy_run.py --keep_dir): the agreement numbers are
+then measured at TRAINED weights — the number ROADMAP item 7 needs before
+use_fused_detector can default on (random-init attention is near-flat, so
+its keypoint overlap is the worst case)."""
+import argparse
 import os
 import sys
 import time
@@ -21,6 +27,12 @@ import jax.numpy as jnp
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default=None,
+                   help="Orbax checkpoint dir (a training run's ckpt/); "
+                        "measures agreement at trained weights")
+    args = p.parse_args()
+
     from feat3dnet_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
@@ -35,6 +47,17 @@ def main():
     model = Feat3DNet(cfg)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)),
                    training=False)
+    if args.ckpt:
+        from feat3dnet_tpu.config import TrainConfig
+        from feat3dnet_tpu.train.trainer import init_state
+        from feat3dnet_tpu.utils.checkpoint import CheckpointManager
+
+        state, _ = init_state(model, TrainConfig(), cfg,
+                              jax.random.PRNGKey(0))
+        state = CheckpointManager(os.path.abspath(args.ckpt)).restore(state)
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        print(f"trained weights: step {int(state.step)} from {args.ckpt}",
+              flush=True)
 
     clouds = {
         "oxford_16k": load_point_cloud(example_cloud_path("oxford_270.bin"),
