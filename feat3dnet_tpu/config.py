@@ -111,7 +111,18 @@ class InferenceConfig:
     # steps; larger tiles amortize per-step block loads. 256×256 is the
     # measured optimum for the transposed merge at 120k-submap scale
     # (benchmarks/sweep_merge.py r3: 0.50-0.52 s vs 0.61 s at 256×128,
-    # 0.73 s at 128×128, 0.56 s at 512×256).
+    # 0.73 s at 128×128, 0.56 s at 512×256). hash_block=0 = AUTO: per-cloud
+    # density-keyed choice between 128 and 256 via
+    # ops/hash_grid.estimate_ball_points (saturated clouds — estimated
+    # ball population >= num_samples — take 128). Outputs are
+    # bit-identical across layouts (the grouping contract is
+    # layout-independent); only speed and the executable-cache key change.
+    # The pinned 256 stays the DEFAULT: an interleaved same-session A/B on
+    # the current compile service (benchmarks/sweep_layout_auto.py, late
+    # r3) measured the 128-vs-256 gap at ±2-4 % on all three reference
+    # clouds — the earlier −12 % kitti win did not survive a service
+    # update — so auto's extra executable per density class isn't
+    # currently paid for. Re-run the sweep when the service changes.
     hash_block: int = 256
     hash_tile: int = 256
     # Kernel flavor inside the hashed extract: True = CSR (scalar-prefetch

@@ -143,6 +143,29 @@ def build_sorted_cloud(xyz: Array, valid_mask: Optional[Array] = None,
                        orig_idx=final_orig, inv_perm=inv_perm, block_size=L)
 
 
+def estimate_ball_points(xyz, radius: float) -> float:
+    """Host-side density proxy for layout auto-tuning: estimated points
+    inside a radius-`radius` ball around a typical point = mean points per
+    occupied radius-sized grid cell × (ball volume / cell volume) = 4π/3.
+
+    Measured on the bundled real clouds at radius 2.0 (r3): oxford 16k
+    ≈ 92, kitti 29k ≈ 101 (balls saturate at nsample=64 → the 128-pt
+    block layout wins −12 %), synthetic 120k submap ≈ 40 (unsaturated →
+    256 stays optimal). O(N) numpy + one unique-sort — microseconds next
+    to the Morton prep itself."""
+    import numpy as np
+
+    xyz = np.asarray(xyz, np.float32)
+    finite = np.isfinite(xyz).all(axis=1)
+    pts = xyz[finite]
+    if pts.shape[0] == 0:
+        return 0.0
+    cells = np.floor(pts / np.float32(radius)).astype(np.int64)
+    key = ((cells[:, 0] * 73856093) ^ (cells[:, 1] * 19349663)
+           ^ (cells[:, 2] * 83492791))
+    return float(pts.shape[0] / np.unique(key).size * (4.0 * np.pi / 3.0))
+
+
 def build_sorted_cloud_host(xyz, valid_mask=None, cell_size: float = 2.0,
                             block_size: int = 256,
                             use_native: bool = True) -> SortedCloud:
@@ -448,8 +471,9 @@ _MERGE_SC = 8   # slots routed per MXU matmul
 
 def _merge_block_t(ctrT, pts, ptsT,
                    topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
-                   addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
-                   *, r2: float, tc: int, L: int, ns: int):
+                   addx_ref, addy_ref, addz_ref, addk_ref, occ_ref, st_ref,
+                   *, r2: float, tc: int, L: int, ns: int,
+                   fill_gate: bool = False):
     """One (center-tile × point-block) step of the transposed exact merge.
     ctrT/pts/ptsT are VALUES (the fori-loop kernel slices them out of
     VMEM-resident whole-cloud refs; the grid kernels load their blocks).
@@ -501,10 +525,31 @@ def _merge_block_t(ctrT, pts, ptsT,
         topz = topz_ref[...]
         topk = topk_ref[...]                             # ascending keys
 
-        smaller_top = jnp.zeros((L, tc), jnp.float32)
-        for s in range(ns):
-            smaller_top = smaller_top + (
-                topk[s:s + 1, :] < key).astype(jnp.float32)
+        if fill_gate:
+            # FILL-GATED buffer-rank compare: keys ascend down the buffer,
+            # so an 8-slot chunk whose FIRST row is sentinel across the
+            # whole tile contributes exactly 0 and is skipped. Gated
+            # pl.when bodies cannot build values, so partial sums
+            # accumulate in the st_ref VMEM scratch (an (L, tc) RMW per
+            # open chunk — the cost that makes this an A/B candidate, not
+            # an unconditional win; see BENCHMARKS.md).
+            st_ref[...] = jnp.zeros((L, tc), jnp.float32)
+            for s0 in range(0, ns, _MERGE_SC):
+                sch = min(_MERGE_SC, ns - s0)
+
+                @pl.when(jnp.min(topk[s0:s0 + 1, :]) < _BIG)
+                def _rank_chunk(s0=s0, sch=sch):
+                    part = jnp.zeros((L, tc), jnp.float32)
+                    for s in range(s0, s0 + sch):
+                        part = part + (topk[s:s + 1, :] < key
+                                       ).astype(jnp.float32)
+                    st_ref[...] = st_ref[...] + part
+            smaller_top = st_ref[...]
+        else:
+            smaller_top = jnp.zeros((L, tc), jnp.float32)
+            for s in range(ns):
+                smaller_top = smaller_top + (
+                    topk[s:s + 1, :] < key).astype(jnp.float32)
         pos_b = jnp.where(in_ball, smaller_top + rank_b, 0.0)   # (L, tc)
 
         # positions that actually land (pos > ns fell off the buffer)
@@ -585,8 +630,9 @@ def _merge_block_t(ctrT, pts, ptsT,
 
 def _bq_kernel_t(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
                  topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
-                 addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
-                 *, r2: float, tc: int, L: int, ns: int):
+                 addx_ref, addy_ref, addz_ref, addk_ref, occ_ref, st_ref,
+                 *, r2: float, tc: int, L: int, ns: int,
+                 fill_gate: bool = False):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -603,7 +649,8 @@ def _bq_kernel_t(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
         _merge_block_t(ctrT_ref[...], pts_ref[...], ptsT_ref[...],
                        topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                        addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
-                       r2=r2, tc=tc, L=L, ns=ns)
+                       st_ref, r2=r2, tc=tc, L=L, ns=ns,
+                       fill_gate=fill_gate)
 
 
 def _block_major_rows(ptsT: Array, L: int) -> Array:
@@ -658,11 +705,13 @@ def _merge_epilogue_t(topx, topy, topz, topk, cnt, tiles, ns, tc, mp, m):
     return top, cnt_rows
 
 
-@partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret",
+                                   "fill_gate"))
 def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                      radius: float, nsample: int, tile: int = 128,
                      interpret: Optional[bool] = None,
-                     block_mask: Optional[Array] = None):
+                     block_mask: Optional[Array] = None,
+                     fill_gate: bool = False):
     """Transposed-merge driver — same contract as _bq_sorted_raw."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -676,7 +725,7 @@ def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                             memory_space=pltpu.VMEM)
 
     topx, topy, topz, topk, cnt = pl.pallas_call(
-        partial(_bq_kernel_t, r2=r2, tc=tc, L=L, ns=ns),
+        partial(_bq_kernel_t, r2=r2, tc=tc, L=L, ns=ns, fill_gate=fill_gate),
         grid=(tiles, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -700,7 +749,8 @@ def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         scratch_shapes=[pltpu.VMEM((ns, tc), jnp.float32)
-                        for _ in range(5)],
+                        for _ in range(5)]
+                       + [pltpu.VMEM((L, tc), jnp.float32)],
         interpret=interpret,
     )(hitmask, ctrT, sc_pts4, ptsT_ext)
     return _merge_epilogue_t(topx, topy, topz, topk, cnt,
@@ -733,7 +783,8 @@ _FORI_MAX_POINTS_MERGE = 131072
 def _bq_kernel_t_fori(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
                       topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                       addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
-                      *, r2: float, tc: int, L: int, ns: int, nb: int):
+                      st_ref, *, r2: float, tc: int, L: int, ns: int,
+                      nb: int, fill_gate: bool = False):
     i = pl.program_id(0)
     _init_merge_buffers_t(topx_ref, topy_ref, topz_ref, topk_ref,
                           cnt_ref, tc, ns)
@@ -750,7 +801,8 @@ def _bq_kernel_t_fori(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
             _merge_block_t(ctrT, pts, ptsT,
                            topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                            addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
-                           r2=r2, tc=tc, L=L, ns=ns)
+                           st_ref, r2=r2, tc=tc, L=L, ns=ns,
+                           fill_gate=fill_gate)
 
         return carry
 
@@ -759,11 +811,13 @@ def _bq_kernel_t_fori(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
     jax.lax.fori_loop(0, nb, body, 0)
 
 
-@partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret",
+                                   "fill_gate"))
 def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                           radius: float, nsample: int, tile: int = 128,
                           interpret: Optional[bool] = None,
-                          block_mask: Optional[Array] = None):
+                          block_mask: Optional[Array] = None,
+                          fill_gate: bool = False):
     """Whole-cloud-in-VMEM fori-loop driver — same contract (and bit-equal
     outputs) as _bq_sorted_raw_t."""
     if interpret is None:
@@ -779,7 +833,8 @@ def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                             memory_space=pltpu.VMEM)
 
     topx, topy, topz, topk, cnt = pl.pallas_call(
-        partial(_bq_kernel_t_fori, r2=r2, tc=tc, L=L, ns=ns, nb=nb),
+        partial(_bq_kernel_t_fori, r2=r2, tc=tc, L=L, ns=ns, nb=nb,
+                fill_gate=fill_gate),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -803,7 +858,8 @@ def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
         scratch_shapes=[pltpu.VMEM((ns, tc), jnp.float32)
-                        for _ in range(5)],
+                        for _ in range(5)]
+                       + [pltpu.VMEM((L, tc), jnp.float32)],
         interpret=interpret,
     )(hitmask, ctrT, sc_pts4, ptsT_blocks)
     return _merge_epilogue_t(topx, topy, topz, topk, cnt,
@@ -1412,7 +1468,7 @@ def _bq_csr_raw(sc_pts4: Array, centers: Array, tile_of: Array, blk_of: Array,
 def _bq_csr_kernel_t(tile_of, blk_of, ctrT_ref, pts_ref, ptsT_ref,
                      topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                      addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
-                     *, r2: float, tc: int, L: int, ns: int):
+                     st_ref, *, r2: float, tc: int, L: int, ns: int):
     k = pl.program_id(0)
     t = tile_of[k]
     prev = tile_of[jnp.maximum(k - 1, 0)]
@@ -1425,7 +1481,7 @@ def _bq_csr_kernel_t(tile_of, blk_of, ctrT_ref, pts_ref, ptsT_ref,
     _merge_block_t(ctrT_ref[...], pts_ref[...], ptsT_ref[...],
                    topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                    addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
-                   r2=r2, tc=tc, L=L, ns=ns)
+                   st_ref, r2=r2, tc=tc, L=L, ns=ns)
 
 
 @partial(jax.jit, static_argnames=("radius", "nsample", "block_size", "tile",
@@ -1474,7 +1530,8 @@ def _bq_csr_raw_t(sc_pts4: Array, centers: Array, tile_of: Array,
             + [pl.BlockSpec((8, tc), lambda k, tof, bof: (tof[k], 0),
                             memory_space=pltpu.VMEM)]),
         scratch_shapes=[pltpu.VMEM((ns, tc), jnp.float32)
-                        for _ in range(5)],
+                        for _ in range(5)]
+                       + [pltpu.VMEM((L, tc), jnp.float32)],
     )
     topx, topy, topz, topk, cnt = pl.pallas_call(
         partial(_bq_csr_kernel_t, r2=r2, tc=tc, L=L, ns=ns),

@@ -308,6 +308,68 @@ def test_block_mask_grid_drivers_match_fori(rng):
                                       np.asarray(b_g[i * nb:(i + 1) * nb]))
 
 
+def test_fill_gate_drivers_bit_equal(rng):
+    """fill_gate=True (the A/B'd gated buffer-rank compare) must be
+    bit-equal to the default on both transposed drivers — the gate skips
+    only provably-zero chunks (ascending keys, sentinel-tailed)."""
+    from feat3dnet_tpu.ops.hash_grid import (_bq_sorted_raw_t,
+                                             _bq_sorted_raw_t_fori,
+                                             build_sorted_cloud_host)
+
+    pts = _clouds(rng, 700, spread=12.0, clusters=3)
+    pd = np.zeros((768, 3), np.float32)
+    pd[:700] = pts
+    vl = np.zeros((768,), bool)
+    vl[:700] = True
+    sc = build_sorted_cloud_host(pd, vl, cell_size=1.5, block_size=64)
+    for raw in (_bq_sorted_raw_t, _bq_sorted_raw_t_fori):
+        a = raw(jnp.asarray(sc.pts4), jnp.asarray(sc.blk_bbox),
+                jnp.asarray(sc.pts4[:, :3]), 1.5, 8, tile=32)
+        b = raw(jnp.asarray(sc.pts4), jnp.asarray(sc.blk_bbox),
+                jnp.asarray(sc.pts4[:, :3]), 1.5, 8, tile=32,
+                fill_gate=True)
+        for xa, xb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_auto_layout_matches_pinned(rng):
+    """hash_block=0 (density-keyed auto layout) must produce bit-equal
+    extraction results to the pinned default — layouts only change the
+    block partition, never the grouping/NMS contracts."""
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.ops.hash_grid import estimate_ball_points
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 64, 3)),
+                   training=False)
+    v = jax.tree.map(lambda x: x + 0.1 * rng.randn(*x.shape).astype(np.float32), v)
+    # dense cluster cloud → saturated → auto picks the 128 block
+    cloud = _clouds(rng, 900, spread=6.0, clusters=2)
+    assert estimate_ball_points(cloud, 2.0) >= cfg.num_samples
+    kw = dict(use_hashed_grouping=True, keypoint_chunk=256,
+              max_keypoints=32, nms_radius=1.0)
+    auto = InferencePipeline(model, v, cfg,
+                             InferenceConfig(hash_block=0, **kw))
+    pinned = InferencePipeline(model, v, cfg, InferenceConfig(**kw))
+    assert auto._layout_for(cloud) == (128, 256)
+    ra, rp = auto.extract(cloud), pinned.extract(cloud)
+    assert ra.num_keypoints == rp.num_keypoints
+    np.testing.assert_array_equal(ra.keypoints, rp.keypoints)
+    np.testing.assert_array_equal(ra.features, rp.features)
+    # batched auto: densest cloud's layout wins, results still bit-equal
+    clouds = [cloud, _clouds(rng, 500, spread=25.0)]
+    many = auto.extract_many(clouds, batch_size=2)
+    for rm, c in zip(many, clouds):
+        rs = pinned.extract(c)
+        assert rm.num_keypoints == rs.num_keypoints
+        np.testing.assert_array_equal(rm.features, rs.features)
+
+
 def test_extract_many_batched_matches_single(rng):
     """extract_many(batch_size=2) — pipelined batched dispatches — must
     return the same per-cloud results as extract(), in input order,
