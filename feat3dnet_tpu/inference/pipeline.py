@@ -59,6 +59,48 @@ class InferencePipeline:
         self._extract_fns: Dict[int, callable] = {}
         self._describe_fns: Dict[Tuple[int, int], callable] = {}
 
+    def warmup(self, point_counts=(), clouds=None, batch_sizes=(1,),
+               seed: int = 0) -> Dict[tuple, float]:
+        """Pre-compile the extraction executables a deployment will serve
+        (SERVING.md: first compile of a shape is 30–400 s through a remote
+        compile service — pay it at startup, not on the first request).
+
+        Args:
+          point_counts: cloud sizes to warm; each maps to its static
+            bucket (`config.POINT_BUCKETS`) and one synthetic cloud of
+            that size drives a throwaway extract. Covers the default
+            pipeline exactly (the dense hashed executables are keyed only
+            by bucket + layout, never by cloud content).
+          clouds: optional REPRESENTATIVE clouds to warm with instead —
+            required for content-keyed configurations (use_csr_kernels
+            buckets executables by per-cloud hit counts; hash_block=0
+            picks the layout from cloud density), where synthetic uniform
+            clouds would compile the wrong variants.
+          batch_sizes: extract_batch sizes to warm per cloud size (1 =
+            the single-cloud path).
+        Returns {(n_points, batch_size): seconds} compile+run times.
+        """
+        import time as _time
+
+        rng = np.random.RandomState(seed)
+        work = [(int(n), None) for n in point_counts]
+        work += [(c.shape[0], c) for c in (clouds or [])]
+        out: Dict[tuple, float] = {}
+        for n, cloud in work:
+            if cloud is None:
+                nb = bucket_for(min(n, self.icfg.num_points)
+                                if self.icfg.num_points > 0 else n)
+                cloud = (rng.rand(nb, 3).astype(np.float32) - 0.5) * 40.0
+            for b in batch_sizes:
+                t0 = _time.time()
+                if b <= 1:
+                    self.extract(cloud)
+                else:
+                    self.extract_batch(
+                        [cloud + np.float32(0.1) * i for i in range(b)])
+                out[(n, b)] = _time.time() - t0
+        return out
+
     # -- jit builders -----------------------------------------------------
 
     def _chunk_size(self, n_bucket: int) -> int:

@@ -68,6 +68,22 @@ def test_randomize_points_changes_order_not_validity(rng):
     assert res.num_keypoints > 0
 
 
+def test_warmup_precompiles_serving_shapes(rng):
+    """warmup() must populate the executable cache so real requests at the
+    warmed (bucket, batch) shapes add no new executables."""
+    cloud = (rng.rand(300, 6).astype(np.float32) - 0.5) * 10.0
+    pipe = _pipeline(cloud)
+    times = pipe.warmup(point_counts=[300], batch_sizes=(1, 2))
+    assert set(times) == {(300, 1), (300, 2)}
+    assert all(t > 0 for t in times.values())
+    keys_after_warm = set(pipe._extract_fns)
+    assert keys_after_warm                      # something compiled
+    r = pipe.extract(cloud)
+    pipe.extract_batch([cloud, cloud[:250]])
+    assert set(pipe._extract_fns) == keys_after_warm
+    assert r.num_keypoints > 0
+
+
 def test_non_dividing_keypoint_chunk(rng):
     """A keypoint_chunk that doesn't divide the bucket must not misalign
     attention (regression: lax.dynamic_slice clamps the last chunk start)."""
