@@ -9,11 +9,13 @@ agreement check (keypoint overlap + attention tolerance) at full scale.
 
     python benchmarks/probe_fused_detector.py [--ckpt DIR]
 
---ckpt points at an Orbax checkpoint directory (e.g. the stage-2 run of
-examples/scaled_accuracy_run.py --keep_dir): the agreement numbers are
+--ckpt points at an Orbax checkpoint directory: the agreement numbers are
 then measured at TRAINED weights — the number ROADMAP item 7 needs before
 use_fused_detector can default on (random-init attention is near-flat, so
-its keypoint overlap is the worst case)."""
+its keypoint overlap is the worst case). The 4,480-step stage-2
+checkpoint of the scaled synthetic run is COMMITTED at
+examples/results/scaled_accuracy/ckpt (measured there: kp overlap 0.9785
+@120k, matched-att relmax 1.4e-2)."""
 import argparse
 import os
 import sys
