@@ -228,6 +228,20 @@ def phase_submap_scale():
         model, v, cfg, InferenceConfig(use_hashed_grouping=True,
                                        use_fused_detector=True)).extract(big)
     agree = keypoint_agreement(grid, fused)
+    # perf canary, NOT a gate: warm 120k extract median on the default
+    # path. The compile service's codegen drifts 20-45% between sessions
+    # (BENCHMARKS.md); recording the number here makes the drift visible
+    # the moment the gate reruns, instead of surfacing as a confounded
+    # A/B later.
+    import time as _time
+    pipe = InferencePipeline(
+        model, v, cfg, InferenceConfig(use_hashed_grouping=True))
+    pipe.extract(big)
+    ts = []
+    for i in range(5):
+        t0 = _time.time()
+        pipe.extract(big * (1.0 + 1e-5 * (i + 1)))
+        ts.append(_time.time() - t0)
     return {
         "ok_flavors_equal": bool(
             grid.num_keypoints == csr.num_keypoints
@@ -239,6 +253,7 @@ def phase_submap_scale():
         "fused_kp_overlap": round(agree["overlap"], 4),
         "fused_att_relmax_matched": agree["att_relmax_matched"],
         "num_keypoints": int(grid.num_keypoints),
+        "extract_120k_warm_median_s": round(float(np.median(ts)), 4),
     }
 
 
