@@ -819,9 +819,17 @@ class InferencePipeline:
                     + jnp.arange(B, dtype=jnp.int32)[:, None] * nb)
             clusters = grouped[rows.reshape(-1)].reshape(B, k_max, ns, 3)
             offs = clusters - kp[:, :, None, :]
-            feats = self._describe_at_keypoints(
-                variables, offs.reshape(B * k_max, ns, 3),
-                ori_s[rows.reshape(-1)]).reshape(B, k_max, -1)
+            # Per-cloud descriptor chunks, shape-identical to the
+            # single-cloud apply: the per-cloud bit-equality contract must
+            # not rest on XLA matmul rounding being invariant to the
+            # leading dim (one (B*k_max)-cluster apply could round
+            # differently than B separate k_max applies under a future
+            # codegen change). Mirrors the detector pass's chunk_override.
+            ori_kp = ori_s[rows.reshape(-1)].reshape(B, k_max)
+            feats = jax.lax.map(
+                lambda xs: self._describe_at_keypoints(
+                    variables, xs[0], xs[1]),
+                (offs, ori_kp))
             return jnp.concatenate([
                 kp.ravel(), feats.ravel(), kp_att.ravel(),
                 num.astype(jnp.float32)])
@@ -857,6 +865,14 @@ class InferencePipeline:
         if self.icfg.num_points > 0:
             clouds = [c[:self.icfg.num_points] for c in clouds]
         n_bucket = max(bucket_for(c.shape[0]) for c in clouds)
+        # inv_perm rides the packed buffer as f32, exact only below 2^24 —
+        # same loud failure as _host_sort_packed instead of silent
+        # permutation corruption on a >16.7M-point cloud
+        if n_bucket >= (1 << 24):
+            raise ValueError(
+                f"packed f32 transfer supports < 2^24 points per cloud, got "
+                f"bucket {n_bucket}; split the cloud or extend the packed "
+                f"layout to int32 indices")
         layout = min(self._layout_for(c[:, :3]) for c in clouds)
         pts4_u, inv_u = [], []
         for c in clouds:

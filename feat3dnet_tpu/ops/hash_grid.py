@@ -630,9 +630,12 @@ def _merge_block_t(ctrT, pts, ptsT,
 
 def _bq_kernel_t(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
                  topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
-                 addx_ref, addy_ref, addz_ref, addk_ref, occ_ref, st_ref,
-                 *, r2: float, tc: int, L: int, ns: int,
+                 addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
+                 *st_scratch, r2: float, tc: int, L: int, ns: int,
                  fill_gate: bool = False):
+    # the (L, tc) fill-gate scratch is appended only when fill_gate=True
+    # (default-off measured negative) — no dead VMEM otherwise
+    st_ref = st_scratch[0] if st_scratch else None
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -750,7 +753,8 @@ def _bq_sorted_raw_t(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         scratch_shapes=[pltpu.VMEM((ns, tc), jnp.float32)
                         for _ in range(5)]
-                       + [pltpu.VMEM((L, tc), jnp.float32)],
+                       + ([pltpu.VMEM((L, tc), jnp.float32)]
+                          if fill_gate else []),
         interpret=interpret,
     )(hitmask, ctrT, sc_pts4, ptsT_ext)
     return _merge_epilogue_t(topx, topy, topz, topk, cnt,
@@ -783,8 +787,9 @@ _FORI_MAX_POINTS_MERGE = 131072
 def _bq_kernel_t_fori(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
                       topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                       addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
-                      st_ref, *, r2: float, tc: int, L: int, ns: int,
+                      *st_scratch, r2: float, tc: int, L: int, ns: int,
                       nb: int, fill_gate: bool = False):
+    st_ref = st_scratch[0] if st_scratch else None
     i = pl.program_id(0)
     _init_merge_buffers_t(topx_ref, topy_ref, topz_ref, topk_ref,
                           cnt_ref, tc, ns)
@@ -859,7 +864,8 @@ def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         scratch_shapes=[pltpu.VMEM((ns, tc), jnp.float32)
                         for _ in range(5)]
-                       + [pltpu.VMEM((L, tc), jnp.float32)],
+                       + ([pltpu.VMEM((L, tc), jnp.float32)]
+                          if fill_gate else []),
         interpret=interpret,
     )(hitmask, ctrT, sc_pts4, ptsT_blocks)
     return _merge_epilogue_t(topx, topy, topz, topk, cnt,
@@ -1468,7 +1474,7 @@ def _bq_csr_raw(sc_pts4: Array, centers: Array, tile_of: Array, blk_of: Array,
 def _bq_csr_kernel_t(tile_of, blk_of, ctrT_ref, pts_ref, ptsT_ref,
                      topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                      addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
-                     st_ref, *, r2: float, tc: int, L: int, ns: int):
+                     *, r2: float, tc: int, L: int, ns: int):
     k = pl.program_id(0)
     t = tile_of[k]
     prev = tile_of[jnp.maximum(k - 1, 0)]
@@ -1481,7 +1487,7 @@ def _bq_csr_kernel_t(tile_of, blk_of, ctrT_ref, pts_ref, ptsT_ref,
     _merge_block_t(ctrT_ref[...], pts_ref[...], ptsT_ref[...],
                    topx_ref, topy_ref, topz_ref, topk_ref, cnt_ref,
                    addx_ref, addy_ref, addz_ref, addk_ref, occ_ref,
-                   st_ref, r2=r2, tc=tc, L=L, ns=ns)
+                   None, r2=r2, tc=tc, L=L, ns=ns)
 
 
 @partial(jax.jit, static_argnames=("radius", "nsample", "block_size", "tile",
@@ -1530,8 +1536,7 @@ def _bq_csr_raw_t(sc_pts4: Array, centers: Array, tile_of: Array,
             + [pl.BlockSpec((8, tc), lambda k, tof, bof: (tof[k], 0),
                             memory_space=pltpu.VMEM)]),
         scratch_shapes=[pltpu.VMEM((ns, tc), jnp.float32)
-                        for _ in range(5)]
-                       + [pltpu.VMEM((L, tc), jnp.float32)],
+                        for _ in range(5)],
     )
     topx, topy, topz, topk, cnt = pl.pallas_call(
         partial(_bq_csr_kernel_t, r2=r2, tc=tc, L=L, ns=ns),

@@ -6,7 +6,8 @@ import jax.numpy as jnp
 
 from feat3dnet_tpu.eval import (
     ClusterPairValidator, estimate_rigid_transform, fpr_at_95_recall,
-    match_descriptors, precision_at_thresholds, ransac_rigid,
+    match_descriptors, precision_at_thresholds, precision_recall,
+    ransac_rigid,
 )
 
 
@@ -76,6 +77,48 @@ def test_precision_at_thresholds():
     valid = np.ones(5, bool)
     p = precision_at_thresholds(errors, valid, thresholds=(0.5, 1.0, 2.0))
     assert p[0.5] == 2 / 5 and p[1.0] == 3 / 5 and p[2.0] == 4 / 5
+
+
+def test_precision_recall_hand_computed():
+    """prec_rec.m semantics on a 4-sample case with distinct scores:
+    thresholds descend; at each, selection is score >= t."""
+    score = np.array([0.1, 0.4, 0.35, 0.8])
+    target = np.array([0, 0, 1, 1])
+    prec, tpr, fpr, thresh = precision_recall(score, target, num_thresh=4)
+    # hazen quantiles of [.1,.35,.4,.8] at 1/4, 2/4, 3/4 = .225, .375, .6;
+    # plus min=.1 → descending [.6, .375, .225, .1]
+    np.testing.assert_allclose(thresh, [0.6, 0.375, 0.225, 0.1])
+    # selections: {.8}, {.4,.8}, {.35,.4,.8}, all
+    np.testing.assert_allclose(tpr, [0.5, 0.5, 1.0, 1.0])
+    np.testing.assert_allclose(fpr, [0.0, 0.5, 0.5, 1.0])
+    np.testing.assert_allclose(prec, [1.0, 0.5, 2 / 3, 0.5])
+
+
+def test_precision_recall_perfect_and_instance_count():
+    rng = np.random.RandomState(0)
+    pos = rng.rand(200) + 2.0
+    neg = rng.rand(200)
+    score = np.concatenate([pos, neg])
+    target = np.concatenate([np.ones(200), np.zeros(200)])
+    prec, tpr, fpr, thresh = precision_recall(score, target)
+    # a perfectly separable scorer sweeps through (fpr=0, tpr=1)
+    assert np.any((fpr == 0.0) & (tpr == 1.0))
+    assert np.all(np.diff(tpr) >= -1e-12) and np.all(np.diff(fpr) >= -1e-12)
+    # instanceCount grouping (prec_rec.m:146-163): rows summarizing k
+    # identical-score instances must reproduce the per-instance curves
+    score_g = np.array([0.9, 0.5, 0.1])
+    count_g = np.array([4, 4, 4])
+    target_g = np.array([3, 2, 0])          # positives within each group
+    score_i = np.repeat(score_g, 4)
+    target_i = np.array([1, 1, 1, 0, 1, 1, 0, 0, 0, 0, 0, 0])
+    pg, tg, fg, thg = precision_recall(score_g, target_g,
+                                       instance_count=count_g, num_thresh=3)
+    pi, ti, fi, thi = precision_recall(score_i, target_i, num_thresh=3)
+    # same unique scores → same threshold grid → identical curve points
+    np.testing.assert_allclose(thg, thi)
+    np.testing.assert_allclose(pg, pi)
+    np.testing.assert_allclose(tg, ti)
+    np.testing.assert_allclose(fg, fi)
 
 
 def test_cluster_pair_validator(tmp_path, rng):
