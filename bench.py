@@ -18,6 +18,7 @@ DOCUMENTED ESTIMATE of the TF1-GPU validation path: 512 descriptors per
 sess.run at ~5 steps/s on the reference's GTX-class hardware ≈ 2,500
 descriptors/s. Replace with a measured value when a TF1 environment exists.
 """
+import argparse
 import json
 import time
 
@@ -66,6 +67,14 @@ def build_cluster_batch():
 
 
 def main():
+    # --bf16_act: opt-in bfloat16 inter-layer activations in the serving
+    # kernel (f32 matmul accumulation; gate-checked cos_bf16 = 1.0).
+    # Kernel-dependent speed — +6 % rank-3 / −6 % on the default 2-D
+    # kernel per the r3 A/Bs — so the headline stays f32 unless asked.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bf16_act", action="store_true")
+    args = ap.parse_args()
+
     from feat3dnet_tpu.config import ModelConfig
     from feat3dnet_tpu.models import Feat3DNet
     from feat3dnet_tpu.ops.fused_describe import (folded_weights,
@@ -90,7 +99,8 @@ def main():
             # slot-major fully-2D serving kernel at its measured-optimal
             # tile (r3 probe sweep: 1.84 M @256 vs 1.82 @64/128, 1.69 @512)
             desc, att = fused_describe_clusters_2d(
-                weights, clusters * (1.0 + eps), cfg, tile=256)
+                weights, clusters * (1.0 + eps), cfg, tile=256,
+                bf16_act=args.bf16_act)
             return carry + jnp.sum(desc), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0),

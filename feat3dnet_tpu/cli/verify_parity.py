@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--cosine_threshold", type=float, default=0.999)
     p.add_argument("--restore_exclude", nargs="*", default=None)
+    p.add_argument("--no_bn", action="store_true",
+                   help="checkpoint was trained with USE_BN=False "
+                        "(reference config.py:2) — no bn/* variables")
     return p
 
 
@@ -61,7 +64,8 @@ def main(argv=None) -> int:
     enable_compilation_cache()
 
     cfg = ModelConfig(num_clusters=-1, feature_dim=args.feature_dim,
-                      base_scale=args.base_scale, num_samples=args.num_samples)
+                      base_scale=args.base_scale, num_samples=args.num_samples,
+                      use_bn=not args.no_bn)
     model = Feat3DNet(cfg)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)),
                            training=False)
@@ -86,20 +90,23 @@ def main(argv=None) -> int:
     print(f"{cloud_path}: {res.num_keypoints} keypoints, "
           f"descriptor norm mean {np.linalg.norm(res.features, axis=1).mean():.4f}")
 
-    # internal gate: fused serving kernel vs XLA model path at the same
-    # keypoints (guards the folded-BN serving path with real weights)
-    from feat3dnet_tpu.ops import ball_query, group_points
-    from feat3dnet_tpu.ops.fused_describe import folded_weights, fused_describe_clusters
+    if cfg.use_bn:
+        # internal gate: fused serving kernel vs XLA model path at the same
+        # keypoints (guards the folded-BN serving path with real weights).
+        # No-BN models have nothing to fold — they serve via the XLA path
+        # (inference/serving.py), so this sub-gate does not apply.
+        from feat3dnet_tpu.ops import ball_query, group_points
+        from feat3dnet_tpu.ops.fused_describe import folded_weights, fused_describe_clusters
 
-    xyz = jnp.asarray(cloud[None, :, :3])
-    kp = jnp.asarray(res.keypoints[None])
-    idx, _ = ball_query(xyz, kp, cfg.base_scale, cfg.num_samples)
-    clusters = (group_points(xyz, idx) - kp[:, :, None, :])[0]
-    desc_fused, _ = fused_describe_clusters(folded_weights(variables, cfg),
-                                            clusters, cfg)
-    cos_int = np.sum(np.asarray(desc_fused) * res.features, axis=1)
-    print(f"fused-vs-XLA cosine: min {cos_int.min():.6f} "
-          f"median {np.median(cos_int):.6f}")
+        xyz = jnp.asarray(cloud[None, :, :3])
+        kp = jnp.asarray(res.keypoints[None])
+        idx, _ = ball_query(xyz, kp, cfg.base_scale, cfg.num_samples)
+        clusters = (group_points(xyz, idx) - kp[:, :, None, :])[0]
+        desc_fused, _ = fused_describe_clusters(folded_weights(variables, cfg),
+                                                clusters, cfg)
+        cos_int = np.sum(np.asarray(desc_fused) * res.features, axis=1)
+        print(f"fused-vs-XLA cosine: min {cos_int.min():.6f} "
+              f"median {np.median(cos_int):.6f}")
 
     if args.reference_output is None:
         print("no --reference_output given: checkpoint loads and runs; "

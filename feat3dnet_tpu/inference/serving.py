@@ -20,12 +20,24 @@ Array = jax.Array
 
 
 class ClusterDescriptorServer:
-    """Holds folded weights + cached executables for repeated serving calls."""
+    """Holds folded weights + cached executables for repeated serving calls.
 
-    def __init__(self, model: Feat3DNet, variables: Dict[str, Any], cfg: ModelConfig):
+    bf16_act: cast the kernel's inter-layer activations to bfloat16 between
+    the tower matmuls (matmuls still accumulate f32). Descriptor agreement
+    vs f32 is gate-checked (ONCHIP_GATE.json serving phase: cos_bf16 = 1.0
+    to the logged precision). Speed is KERNEL-DEPENDENT — measured +6 % on
+    the rank-3 kernel but −6 % on the default slot-major 2-D kernel, whose
+    concat trees don't narrow (BENCHMARKS.md roofline) — so it is opt-in;
+    A/B it on your workload (benchmarks/probe_serving_ablation.py) before
+    enabling in production.
+    """
+
+    def __init__(self, model: Feat3DNet, variables: Dict[str, Any], cfg: ModelConfig,
+                 bf16_act: bool = False):
         self.model = model
         self.variables = variables
         self.cfg = cfg
+        self.bf16_act = bf16_act
         self._weights = None
 
         @jax.jit
@@ -63,7 +75,9 @@ class ClusterDescriptorServer:
                 b = clusters.shape[0]
                 return fused_describe_clusters_2d(
                     self._weights, jnp.asarray(clusters, jnp.float32),
-                    self.cfg, tile=256 if b >= 256 else 64)
+                    self.cfg, tile=256 if b >= 256 else 64,
+                    bf16_act=self.bf16_act)
             return fused_describe_clusters(
-                self._weights, jnp.asarray(clusters, jnp.float32), self.cfg)
+                self._weights, jnp.asarray(clusters, jnp.float32), self.cfg,
+                bf16_act=self.bf16_act)
         return self._xla_path(self.variables, jnp.asarray(clusters, jnp.float32))

@@ -11,12 +11,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _write_tf1_npz(path):
+def _write_tf1_npz(path, **cfg_kwargs):
     from feat3dnet_tpu.config import ModelConfig
     from feat3dnet_tpu.models import Feat3DNet
     from feat3dnet_tpu.utils.tf1_loader import export_tf1_arrays
 
-    cfg = ModelConfig(num_clusters=-1)  # paper config
+    cfg = ModelConfig(num_clusters=-1, **cfg_kwargs)  # paper config
     model = Feat3DNet(cfg)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 3)),
                            training=False)
@@ -65,3 +65,46 @@ def test_verify_parity_cli_pass_and_fail(tmp_path):
     rc = gate(["--npz", bad_npz, "--cloud", cloud_path,
                "--reference_output", ref_path])
     assert rc == 1
+
+
+def _run_gate_config(tmp_path, tag, cfg_kwargs, extra_args):
+    """Export → gate round trip for one reference config variant."""
+    from feat3dnet_tpu.cli.verify_parity import main as gate
+    from feat3dnet_tpu.config import InferenceConfig
+    from feat3dnet_tpu.data.io import save_descriptors
+    from feat3dnet_tpu.inference import InferencePipeline
+
+    npz = str(tmp_path / f"ckpt_{tag}.npz")
+    cfg, model, variables = _write_tf1_npz(npz, **cfg_kwargs)
+
+    rng = np.random.RandomState(1)
+    cloud = np.concatenate([
+        (rng.rand(500, 3).astype(np.float32) - 0.5) * 30.0,
+        np.zeros((500, 3), np.float32)], axis=1)
+    cloud_path = str(tmp_path / f"cloud_{tag}.bin")
+    cloud.tofile(cloud_path)
+
+    pipe = InferencePipeline(model, variables, cfg,
+                             InferenceConfig(max_keypoints=32))
+    res = pipe.extract(cloud)
+    assert res.features.shape[1] == cfg.feature_dim
+    ref_path = str(tmp_path / f"ref_{tag}.bin")
+    save_descriptors(ref_path, res.keypoints, res.features)
+
+    rc = gate(["--npz", npz, "--cloud", cloud_path,
+               "--reference_output", ref_path] + extra_args)
+    assert rc == 0
+
+
+def test_verify_parity_feature_dim_128(tmp_path):
+    """mlp2 widens to [256] for feature_dim>64 (reference feat3dnet.py:300);
+    the TF1 name mapping must round-trip the widened descriptor tree."""
+    _run_gate_config(tmp_path, "fd128", dict(feature_dim=128),
+                     ["--feature_dim", "128"])
+
+
+def test_verify_parity_no_bn(tmp_path):
+    """USE_BN=False checkpoints (reference config.py:2) carry no bn/*
+    variables; restore must be strict-complete without them and the gate
+    must skip the folded-BN fused sub-check."""
+    _run_gate_config(tmp_path, "nobn", dict(use_bn=False), ["--no_bn"])
