@@ -6,11 +6,16 @@ the validation path, train.py:260-315: 512 clusters packed per sess.run).
 
 Workload: real cluster geometry — 64-point radius-2.0 neighborhoods
 extracted around FPS keypoints of all four vendored example clouds
-(examples/data: 2 Oxford scans, 2 KITTI submaps) — batched to 30k clusters
-per scan, full model forward (detector orientation + 32-D descriptor),
-float32. Steps are chained inside one jit (lax.scan with a
-per-step input perturbation) so the measurement is pure device throughput,
-not host/tunnel round-trips.
+(examples/data: 2 Oxford scans, 2 KITTI submaps) — batched to 7680
+clusters per apply, full model forward (detector orientation + 32-D
+descriptor), float32, via the lane-dense transposed serving kernel
+(ops/fused_describe.fused_describe_clusters_t — the r4 default serving
+path; agreement with the XLA model path is on-chip gate-checked). The
+cluster batch is packed to the lane-dense layout ONCE on the host (the
+serving contract: ClusterDescriptorServer.pack_clusters runs on prep
+threads, overlapped with device compute); 128 applies are chained inside
+one jit (lax.scan with a per-step input perturbation) so the ~30-45 ms
+tunnel dispatch RTT amortizes to <0.3 ms per apply.
 
 vs_baseline: the reference publishes NO number (BASELINE.json "published"
 is empty) and TF1 cannot run in this environment, so the denominator is a
@@ -33,9 +38,9 @@ enable_compilation_cache()
 
 TF1_BASELINE_DESC_PER_SEC = 2500.0  # documented estimate, see module docstring
 
-BATCH = 7500          # clusters per model apply
-SCAN_STEPS = 32       # applies chained per executable call (amortizes the
-                      # ~40 ms tunnel round-trip out of the measurement)
+BATCH = 7680          # clusters per model apply (tile-256 multiple)
+SCAN_STEPS = 128      # applies chained per executable call (amortizes the
+                      # ~30-45 ms tunnel round-trip out of the measurement)
 REPEATS = 4           # timed calls
 
 
@@ -67,18 +72,20 @@ def build_cluster_batch():
 
 
 def main():
-    # --bf16_act: opt-in bfloat16 inter-layer activations in the serving
-    # kernel (f32 matmul accumulation; gate-checked cos_bf16 = 1.0).
-    # Kernel-dependent speed — +6 % rank-3 / −6 % on the default 2-D
-    # kernel per the r3 A/Bs — so the headline stays f32 unless asked.
+    # --bf16_act: opt-in bfloat16 inter-layer activations (f32 matmul
+    # accumulation; gate-checked cosine vs f32). Headline stays f32.
+    # --kernel_2d: the pre-r4 slot-major kernel on the (B, ns, 3) layout,
+    # kept for A/B (the rank-3 input lane-pads 3->128; see BENCHMARKS.md).
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16_act", action="store_true")
+    ap.add_argument("--kernel_2d", action="store_true")
     args = ap.parse_args()
 
     from feat3dnet_tpu.config import ModelConfig
     from feat3dnet_tpu.models import Feat3DNet
-    from feat3dnet_tpu.ops.fused_describe import (folded_weights,
-                                                  fused_describe_clusters_2d)
+    from feat3dnet_tpu.ops.fused_describe import (
+        folded_weights, fused_describe_clusters_2d, fused_describe_clusters_t,
+        pack_clusters_lanes, transpose_folded_weights)
 
     cfg = ModelConfig()  # paper config, float32
     model = Feat3DNet(cfg)
@@ -93,14 +100,24 @@ def main():
     # cosine >= 0.9999 on all non-degenerate clusters).
     weights = folded_weights(variables, cfg)
 
+    if args.kernel_2d:
+        operand = clusters
+
+        def apply(w, cl):
+            return fused_describe_clusters_2d(w, cl, cfg, tile=256,
+                                              bf16_act=args.bf16_act)
+    else:
+        weights = transpose_folded_weights(weights)
+        operand = jnp.asarray(pack_clusters_lanes(np.asarray(clusters)))
+
+        def apply(w, cl):
+            return fused_describe_clusters_t(w, cl, cfg, tile=256,
+                                             bf16_act=args.bf16_act)
+
     @jax.jit
-    def bench_step(weights, clusters, seed):
+    def bench_step(weights, operand, seed):
         def body(carry, eps):
-            # slot-major fully-2D serving kernel at its measured-optimal
-            # tile (r3 probe sweep: 1.84 M @256 vs 1.82 @64/128, 1.69 @512)
-            desc, att = fused_describe_clusters_2d(
-                weights, clusters * (1.0 + eps), cfg, tile=256,
-                bf16_act=args.bf16_act)
+            desc, att = apply(weights, operand * (1.0 + eps))
             return carry + jnp.sum(desc), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0),
@@ -108,12 +125,12 @@ def main():
         return acc
 
     # warm-up / compile
-    float(bench_step(weights, clusters, jnp.float32(0.0)))
+    float(bench_step(weights, operand, jnp.float32(0.0)))
 
     times = []
     for r in range(REPEATS):
         t0 = time.time()
-        float(bench_step(weights, clusters, jnp.float32(1e-5 * (r + 1))))
+        float(bench_step(weights, operand, jnp.float32(1e-5 * (r + 1))))
         times.append(time.time() - t0)
 
     per_call = float(np.median(times))

@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "backward instead of saving their (…, ns, C) "
                         "activations — bit-exact; trades recompute for "
                         "HBM, for memory-constrained / large-batch runs")
+    p.add_argument("--residual_dtype", type=str, default="none",
+                   choices=["none", "bfloat16"],
+                   help="store the towers' saved activations compressed "
+                        "(bf16 quantize-dequantize save points; matmuls and "
+                        "BN statistics stay in --compute_dtype) — halves "
+                        "saved-residual HBM traffic without matmul "
+                        "recompute; NOT bit-exact (see BENCHMARKS.md)")
     return p
 
 
@@ -116,7 +123,8 @@ def main(argv=None):
         attention=not args.noattention, regress_orientation=not args.noregress,
         margin=args.margin,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
-        remat_towers=args.remat_towers)
+        remat_towers=args.remat_towers,
+        residual_dtype=jnp.bfloat16 if args.residual_dtype == "bfloat16" else None)
     tcfg = TrainConfig(
         batch_size=args.batch_size, num_points=args.num_points,
         learning_rate=args.learning_rate, num_epochs=args.num_epochs,

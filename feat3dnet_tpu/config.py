@@ -38,6 +38,19 @@ class ModelConfig:
         saved-activation HBM traffic. Measured per-shape — see
         BENCHMARKS.md; unlike the trainer-level full remat, the grouping
         and pools stay saved.
+      residual_dtype: training-only compressed saved activations. When set
+        (jnp.bfloat16), the per-point tower segments run under a
+        jax.checkpoint save_only_these_names policy whose save points are
+        bf16 quantize-dequantize copies of each Dense output and each
+        post-activation tensor — the backward pass streams HALF the
+        saved-residual bytes of f32 while the matmuls and BN statistics
+        still compute in compute_dtype. No matmul recompute (unlike
+        remat_towers); backward re-derives only the elementwise BN/relu
+        chains from the saved points. Forward activations are rounded to
+        the bf16 grid at the squash points (the saved copy IS the forward
+        value), so this is NOT bit-exact vs residual_dtype=None — see
+        BENCHMARKS.md for the measured grad agreement and speed. Takes
+        precedence over remat_towers when both are set.
     """
 
     num_clusters: int = 512
@@ -52,6 +65,7 @@ class ModelConfig:
     bn_epsilon: float = 1e-3          # reference tf.nn.batch_normalization eps (layers.py:271)
     compute_dtype: Any = jnp.float32
     remat_towers: bool = False
+    residual_dtype: Any = None
 
     # MLP widths (reference feat3dnet.py:278-301). Descriptor mlp2 widens to
     # [256] when feature_dim > 64, matching feat3dnet.py:300.

@@ -46,15 +46,26 @@ class InferencePipeline:
 
     def __init__(self, model: Feat3DNet, variables, model_cfg: ModelConfig,
                  infer_cfg: InferenceConfig = InferenceConfig(),
-                 mesh=None):
+                 mesh=None, cloud_mesh=None):
         """mesh: optional jax.sharding.Mesh — the attention pass then shards
         the keypoint axis across devices (parallel/point_parallel.py)
-        instead of chunking on one device."""
+        instead of chunking on one device (LATENCY mode: many chips, one
+        big cloud).
+
+        cloud_mesh: optional jax.sharding.Mesh — extract_batch /
+        extract_many(batch_size>1) then place one sub-batch of clouds per
+        device (THROUGHPUT mode: many chips, a stream of clouds; see
+        _extract_batch_mesh_fn). Mutually exclusive with mesh — they
+        compete for the same devices."""
+        if mesh is not None and cloud_mesh is not None:
+            raise ValueError("pass either mesh (latency sharding) or "
+                             "cloud_mesh (cloud-per-device throughput), not both")
         self.model = model
         self.variables = variables
         self.mcfg = model_cfg
         self.icfg = infer_cfg
         self.mesh = mesh
+        self.cloud_mesh = cloud_mesh
         self._attention_fns: Dict[int, callable] = {}
         self._extract_fns: Dict[int, callable] = {}
         self._describe_fns: Dict[Tuple[int, int], callable] = {}
@@ -672,6 +683,19 @@ class InferencePipeline:
         if rng is not None:
             clouds = [c[rng.permutation(c.shape[0])] for c in clouds]
 
+        if self.cloud_mesh is not None:
+            # cloud-per-device throughput mode: hand batch_size·n_devices
+            # clouds at a time to the mesh (extract_batch shards one
+            # sub-batch per device); host prep/compute pipelining is not
+            # yet composed with the mesh path
+            n_dev = int(np.prod([self.cloud_mesh.shape[a]
+                                 for a in self.cloud_mesh.axis_names]))
+            step = max(batch_size, 1) * n_dev
+            out = []
+            for i in range(0, len(clouds), step):
+                out.extend(self.extract_batch(clouds[i:i + step]))
+            return out
+
         def prep_single(cloud):
             n, n_bucket, padded, valid = self._pad_to_bucket(cloud, None)
             layout = self._layout_for(padded[0, :n])
@@ -737,10 +761,14 @@ class InferencePipeline:
                 results.extend(finish(inflight.popleft()))
         return results
 
-    def _extract_batch_fn(self, n_clouds: int, n_bucket: int,
-                          layout: Optional[Tuple[int, int]] = None):
-        """Batched single-dispatch extraction: B clouds packed into ONE
-        sorted layout and ONE executable (cached per (B, bucket)).
+    def _batch_extract_core(self, n_clouds: int, n_bucket: int,
+                            layout: Optional[Tuple[int, int]] = None):
+        """Traceable batched-extraction core shared by the single-device
+        packed path (_extract_batch_fn) and the cloud-per-device mesh path
+        (_extract_batch_mesh_fn):
+
+            core(variables, pts4 (B·nb, 4), inv_perm (B, nb) int32)
+                -> (kp (B, K, 3), feats (B, K, D), kp_att (B, K), num (B,))
 
         Each cloud is Morton-sorted separately and the per-cloud layouts
         are concatenated, so tiles and culling blocks stay cloud-pure
@@ -750,16 +778,7 @@ class InferencePipeline:
         coordinates, which would perturb the f32 offsets — so per-cloud
         results are BIT-EQUAL to extract() on that cloud alone
         (tests/test_hash_bq.py::test_extract_batch_matches_single).
-
-        Reference analogue: the TF1 pipeline processes one cloud per
-        sess.run (inference.py:121-137); batching N small clouds per
-        dispatch amortizes the dispatch/sync overhead that dominates
-        small-cloud serving.
         """
-        key = ("batch", n_clouds, n_bucket, layout)
-        if key in self._extract_fns:
-            return self._extract_fns[key]
-
         from feat3dnet_tpu.ops.hash_grid import (SortedCloud,
                                                  ball_max_sorted,
                                                  ball_query_grouped_sorted)
@@ -774,7 +793,6 @@ class InferencePipeline:
         # single-cloud detector chunking — see _hashed_attention_sorted
         core = self._hashed_attention_sorted(
             B * nb, chunk_override=self._chunk_size(nb))
-        d = self.mcfg.feature_dim
         nms_tile = 512   # passed explicitly to ball_max_sorted below
 
         def cloud_mask(tile: int) -> np.ndarray:
@@ -785,10 +803,7 @@ class InferencePipeline:
         mask_att = jnp.asarray(cloud_mask(tc))
         mask_nms = jnp.asarray(cloud_mask(nms_tile))
 
-        @jax.jit
-        def impl(variables, packed):
-            pts4 = packed[:B * nb * 4].reshape(B * nb, 4)
-            inv_perm = packed[B * nb * 4:].reshape(B, nb).astype(jnp.int32)
+        def batch_core(variables, pts4, inv_perm):
             centers_sorted = pts4[:, :3]
             blocks = centers_sorted.reshape(-1, L, 3)
             blk_bbox = jnp.concatenate(
@@ -830,6 +845,35 @@ class InferencePipeline:
                 lambda xs: self._describe_at_keypoints(
                     variables, xs[0], xs[1]),
                 (offs, ori_kp))
+            return kp, feats, kp_att, num
+
+        return batch_core
+
+    def _extract_batch_fn(self, n_clouds: int, n_bucket: int,
+                          layout: Optional[Tuple[int, int]] = None):
+        """Batched single-dispatch extraction: B clouds packed into ONE
+        sorted layout and ONE executable (cached per (B, bucket)) — see
+        _batch_extract_core for the isolation/bit-equality contract.
+
+        Reference analogue: the TF1 pipeline processes one cloud per
+        sess.run (inference.py:121-137); batching N small clouds per
+        dispatch amortizes the dispatch/sync overhead that dominates
+        small-cloud serving.
+        """
+        key = ("batch", n_clouds, n_bucket, layout)
+        if key in self._extract_fns:
+            return self._extract_fns[key]
+
+        B, nb = n_clouds, n_bucket
+        k_max = self.icfg.max_keypoints
+        d = self.mcfg.feature_dim
+        batch_core = self._batch_extract_core(B, nb, layout)
+
+        @jax.jit
+        def impl(variables, packed):
+            pts4 = packed[:B * nb * 4].reshape(B * nb, 4)
+            inv_perm = packed[B * nb * 4:].reshape(B, nb).astype(jnp.int32)
+            kp, feats, kp_att, num = batch_core(variables, pts4, inv_perm)
             return jnp.concatenate([
                 kp.ravel(), feats.ravel(), kp_att.ravel(),
                 num.astype(jnp.float32)])
@@ -849,6 +893,60 @@ class InferencePipeline:
 
         fn.impl = impl
         fn.unpack = unpack
+        self._extract_fns[key] = fn
+        return fn
+
+    def _extract_batch_mesh_fn(self, n_clouds: int, n_bucket: int,
+                               layout: Optional[Tuple[int, int]] = None):
+        """Cloud-per-device batched extraction over `cloud_mesh` — the
+        production THROUGHPUT mode for a pod: each device independently
+        runs the batched-extraction core on its own B/n_devices clouds
+        (no collectives; clouds are embarrassingly parallel), so
+        throughput scales as clouds/s × devices. Complements the
+        latency-oriented single-cloud sharding of `mesh`
+        (parallel/point_parallel.make_sharded_extract).
+
+        Per-cloud results are bit-equal to extract() on that cloud alone:
+        each shard runs the SAME _batch_extract_core executable a
+        single-device extract_batch of B/n_devices clouds would
+        (tests/test_parallel.py::test_cloud_mesh_extract_batch).
+
+        Reference analogue: the per-file loop of
+        /root/reference/inference.py:99-180 is the workload being scaled.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        key = ("batch_mesh", n_clouds, n_bucket, layout)
+        if key in self._extract_fns:
+            return self._extract_fns[key]
+
+        mesh = self.cloud_mesh
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        axis = mesh.axis_names[0]
+        assert n_clouds % n_dev == 0, (n_clouds, n_dev)
+        B, nb = n_clouds, n_bucket
+        k_max = self.icfg.max_keypoints
+        batch_core = self._batch_extract_core(B // n_dev, nb, layout)
+
+        @jax.jit
+        def impl(variables, pts4_b, inv_b):
+            def shard_body(variables, pts4_l, inv_l):
+                return batch_core(variables, pts4_l.reshape(-1, 4),
+                                  inv_l.astype(jnp.int32))
+
+            return jax.shard_map(
+                shard_body, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis)),
+                out_specs=(P(axis),) * 4, check_vma=False,
+            )(variables, pts4_b, inv_b)
+
+        def fn(variables, packed_np):
+            pts4_b = packed_np[:B * nb * 4].reshape(B, nb, 4)
+            inv_b = packed_np[B * nb * 4:].reshape(B, nb)
+            kp, feats, kp_att, num = jax.device_get(
+                impl(variables, jnp.asarray(pts4_b), jnp.asarray(inv_b)))
+            return kp, feats, kp_att, num.astype(np.int32)
+
         self._extract_fns[key] = fn
         return fn
 
@@ -914,6 +1012,18 @@ class InferencePipeline:
             return [self.extract(c, rng=rng) for c in clouds]
         if rng is not None:
             clouds = [c[rng.permutation(c.shape[0])] for c in clouds]
+        n_req = len(clouds)
+        if self.cloud_mesh is not None:
+            # cloud-per-device throughput mode: round the batch up to a
+            # multiple of the mesh size (replicas of the last cloud — same
+            # executable, padding results dropped below)
+            n_dev = int(np.prod([self.cloud_mesh.shape[a]
+                                 for a in self.cloud_mesh.axis_names]))
+            clouds = clouds + [clouds[-1]] * (-n_req % n_dev)
+            B, n_bucket, layout, packed = self._batch_prep(clouds)
+            out = self._extract_batch_mesh_fn(B, n_bucket, layout)(
+                self.variables, packed)
+            return self._batch_results(out)[:n_req]
         B, n_bucket, layout, packed = self._batch_prep(clouds)
         return self._batch_results(
             self._extract_batch_fn(B, n_bucket, layout)(self.variables,

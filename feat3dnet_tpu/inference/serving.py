@@ -39,6 +39,7 @@ class ClusterDescriptorServer:
         self.cfg = cfg
         self.bf16_act = bf16_act
         self._weights = None
+        self._weights_t = None
 
         @jax.jit
         def xla_path(variables, clusters):
@@ -81,3 +82,38 @@ class ClusterDescriptorServer:
                 self._weights, jnp.asarray(clusters, jnp.float32), self.cfg,
                 bf16_act=self.bf16_act)
         return self._xla_path(self.variables, jnp.asarray(clusters, jnp.float32))
+
+    @staticmethod
+    def pack_clusters(clusters) -> "Array":
+        """Host packer for the lane-dense fast path: (B, P, 3) float32
+        numpy -> (P·8, B). Run it on serving prep threads (pure numpy)."""
+        import numpy as _np
+
+        from feat3dnet_tpu.ops.fused_describe import pack_clusters_lanes
+
+        return pack_clusters_lanes(_np.asarray(clusters, _np.float32))
+
+    def describe_packed(self, packed: Array) -> Tuple[Array, Array]:
+        """FAST serving path: (P·8, B) lane-dense packed clusters (see
+        pack_clusters) -> (descriptors (B, D), attention (B,)).
+
+        Runs the transposed lane-dense kernel (fused_describe_clusters_t)
+        — measured 2.8× the (B, P, 3) path on the v5e (r4 interleaved A/B,
+        BENCHMARKS.md): the rank-3 layout lane-pads its 3-wide coordinate
+        dim 3→128, so ~60 % of the standard path's device time is spent
+        streaming padding. Requires TPU backend, P == num_samples, BN
+        (folded weights); falls back are the caller's job — this method
+        asserts its contract instead of silently degrading.
+        """
+        assert jax.default_backend() == "tpu" and self.cfg.use_bn
+        from feat3dnet_tpu.ops.fused_describe import (
+            folded_weights, fused_describe_clusters_t,
+            transpose_folded_weights)
+
+        if self._weights_t is None:
+            if self._weights is None:
+                self._weights = folded_weights(self.variables, self.cfg)
+            self._weights_t = transpose_folded_weights(self._weights)
+        return fused_describe_clusters_t(
+            self._weights_t, jnp.asarray(packed, jnp.float32), self.cfg,
+            tile=256, bf16_act=self.bf16_act)

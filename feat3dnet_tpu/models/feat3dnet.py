@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from feat3dnet_tpu.config import ModelConfig
-from feat3dnet_tpu.models.layers import ConvBN, l2_normalize
+from feat3dnet_tpu.models.layers import ConvBN, l2_normalize, residual_save_policy
 from feat3dnet_tpu.ops import ball_query, farthest_point_sample, gather_points, group_points
 
 Array = jax.Array
@@ -103,6 +103,24 @@ def _group_normalized(
     return grouped, idx, cnt
 
 
+def _maybe_remat(per_point, cfg: ModelConfig, training: bool):
+    """Wrap a tower's pre-pool segment per the config's residual policy.
+
+    residual_dtype: checkpoint with save_only_these_names — only the ConvBN
+    bf16 squash points are saved; backward recomputes the elementwise
+    BN/activation chains from them (no matmul recompute). remat_towers:
+    save nothing, recompute the whole segment. nn.remat preserves submodule
+    names, so TF1-mapped checkpoints are unaffected either way.
+    """
+    if not training:
+        return per_point
+    if cfg.residual_dtype is not None:
+        return nn.remat(per_point, policy=residual_save_policy())
+    if cfg.remat_towers:
+        return nn.remat(per_point)
+    return per_point
+
+
 class Detector(nn.Module):
     """Attention + orientation head over grouped clusters (reference :90-151)."""
 
@@ -116,20 +134,22 @@ class Detector(nn.Module):
         conv = lambda f, name: ConvBN(
             f, use_bn=cfg.use_bn, dtype=cfg.compute_dtype,
             bn_momentum=cfg.bn_momentum, bn_epsilon=cfg.bn_epsilon,
-            bn_axis_name=self.bn_axis_name, name=name)
+            bn_axis_name=self.bn_axis_name,
+            residual_dtype=cfg.residual_dtype, name=name)
 
         def per_point(mdl, h):
             # pre-pool segment: the (…, ns, 256) activations here are the
             # training step's dominant saved-residual traffic; under
             # cfg.remat_towers the backward recomputes them from the small
             # grouped input instead (nn.remat preserves submodule names,
-            # so checkpoints are unaffected)
+            # so checkpoints are unaffected); under cfg.residual_dtype the
+            # ConvBN squash points are saved in bf16 and only the
+            # elementwise chains recompute
             for i, f in enumerate(cfg.detector_mlp):
                 h = conv(f, f"conv{i}")(h, training)
             return jnp.max(h, axis=2, keepdims=True)   # pool over samples
 
-        if cfg.remat_towers and training:
-            per_point = nn.remat(per_point)
+        per_point = _maybe_remat(per_point, cfg, training)
         x = per_point(self, x)
         for i, f in enumerate(cfg.detector_mlp2):
             x = conv(f, f"conv_post_{i}")(x, training)
@@ -159,7 +179,8 @@ class Descriptor(nn.Module):
         conv = lambda f, name, act: ConvBN(
             f, use_bn=cfg.use_bn, activation=act, dtype=cfg.compute_dtype,
             bn_momentum=cfg.bn_momentum, bn_epsilon=cfg.bn_epsilon,
-            bn_axis_name=self.bn_axis_name, name=name)
+            bn_axis_name=self.bn_axis_name,
+            residual_dtype=cfg.residual_dtype, name=name)
 
         def per_point(mdl, h):
             # pre-pool segment (see Detector.per_point): point-wise convs,
@@ -182,8 +203,7 @@ class Descriptor(nn.Module):
                 h = conv(f, f"conv_mid_{i}", act)(h, training)
             return jnp.max(h, axis=2, keepdims=True)
 
-        if cfg.remat_towers and training:
-            per_point = nn.remat(per_point)
+        per_point = _maybe_remat(per_point, cfg, training)
         x = per_point(self, grouped.astype(cfg.compute_dtype))
 
         mlp3 = cfg.descriptor_mlp3

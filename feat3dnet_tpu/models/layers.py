@@ -22,6 +22,33 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+RESIDUAL_CKPT_NAME = "tower_resid"
+
+
+def squash_residual(x: Array, dtype: Any, active: bool) -> Array:
+    """Quantize-dequantize checkpoint point for compressed saved activations.
+
+    When active, rounds x to `dtype` (bf16) and NAMES the compressed copy
+    for jax.checkpoint's save_only_these_names policy: inside a tower
+    segment rematerialized under that policy, only these bf16 copies are
+    saved to HBM for the backward pass — half the saved-residual bytes of
+    f32 — while the matmuls themselves still run and accumulate in the
+    model's compute dtype. The forward value is therefore rounded to the
+    bf16 grid at each squash point (~3 decimal digits), which is the price
+    of the exact-recompute property: the saved copy IS the forward value.
+    """
+    if not active:
+        return x
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x.astype(dtype), RESIDUAL_CKPT_NAME).astype(x.dtype)
+
+
+def residual_save_policy():
+    """jax.checkpoint policy saving only the named bf16 squash points."""
+    return jax.checkpoint_policies.save_only_these_names(RESIDUAL_CKPT_NAME)
+
+
 class ConvBN(nn.Module):
     """Dense (= 1x1 conv) + optional EMA batch-norm + activation.
 
@@ -32,6 +59,13 @@ class ConvBN(nn.Module):
         (layers.py:271), statistics over all axes but the channel axis
         (moments_dims [0,1,2], layers.py:209).
       * activation after BN (layers.py:34,43-44).
+
+    residual_dtype (training-only): insert squash_residual points after the
+    Dense output (the BN-backward residual) and after the activation (the
+    next layer's matmul input). Effective only inside a tower segment
+    wrapped with nn.remat(policy=residual_save_policy()) — see
+    Detector/Descriptor per_point. BN statistics are still computed in the
+    compute dtype (f32 by default) over the squashed values.
     """
 
     features: int
@@ -41,10 +75,13 @@ class ConvBN(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32           # compute dtype; params stay float32
     bn_axis_name: Optional[str] = None  # set to mesh axis for cross-replica BN
+    residual_dtype: Any = None          # e.g. jnp.bfloat16; None = off
 
     @nn.compact
     def __call__(self, x: Array, training: bool) -> Array:
+        squash = self.residual_dtype is not None and training
         x = nn.Dense(self.features, dtype=self.dtype, name="conv2d")(x)
+        x = squash_residual(x, self.residual_dtype, squash)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not training,
@@ -56,6 +93,7 @@ class ConvBN(nn.Module):
             )(x)
         if self.activation is not None:
             x = self.activation(x)
+            x = squash_residual(x, self.residual_dtype, squash)
         return x
 
 

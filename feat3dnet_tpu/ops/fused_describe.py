@@ -445,6 +445,69 @@ def _detector_heads_2d(flat_n, mask_r, next_w, mm, cfg: ModelConfig,
     return att, ori
 
 
+def _ablate_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
+                      ablate: str):
+    """BENCH-ONLY ablation bodies for the serving-kernel time decomposition
+    (benchmarks/probe_serving_ablation.py). Outputs are NOT descriptors.
+
+    ablate='stream': read the tile, write the outputs — the DMA +
+      per-grid-step sequencing floor, no compute.
+    ablate='matmul': every matmul of the real tower at its exact operand
+      shapes (incl. the [pointwise|pooled]-width concat feeding conv_mid),
+      with the entire VPU stream removed: no membership chain, no relu, no
+      masks, no pools (slot pools become row slices), no rotation, no
+      softplus/normalize. full − matmul ≈ the VPU elementwise stream;
+      matmul − stream ≈ the MXU passes + their operand staging.
+    """
+    weights = refs[:-2]
+    desc_ref, att_ref = refs[-2], refs[-1]
+    R = tc * ns
+    pts = flat_ref[...].reshape(R, 3)
+
+    if ablate == "stream":
+        desc_ref[...] = jnp.broadcast_to(pts[:tc, 0:1], (tc, cfg.feature_dim))
+        att_ref[...] = pts[:tc, 1:2]
+        return
+
+    assert ablate == "matmul"
+    widx = 0
+
+    def next_w():
+        nonlocal widx
+        k, b = weights[widx][...], weights[widx + 1][...]
+        widx += 2
+        return k, b
+
+    def mm(a, k):
+        return jnp.dot(a, k, preferred_element_type=jnp.float32)
+
+    h = pts
+    for _ in range(len(cfg.detector_mlp)):
+        k, b = next_w()
+        h = mm(h, k) + b
+    h = h[:tc]                                 # pool -> slice (no VPU max tree)
+    for _ in range(len(cfg.detector_mlp2)):
+        k, b = next_w()
+        h = mm(h, k) + b
+    ka, ba = next_w()
+    att = mm(h, ka) + ba                                       # (TC, 1)
+    ko, bo = next_w()
+    ori = mm(h, ko) + bo                                       # (TC, 2)
+
+    d = pts
+    for _ in range(len(cfg.descriptor_mlp)):
+        k, b = next_w()
+        d = mm(d, k) + b
+    cat = jnp.concatenate([d, d], axis=1)      # same width as [pointwise|pooled]
+    k, b = next_w()
+    m = mm(cat, k) + b
+    m = m[:tc]
+    k, b = next_w()
+    out = mm(m, k) + b                                         # (TC, D)
+    desc_ref[...] = out
+    att_ref[...] = att + ori[:, 0:1] * 1e-30   # keep the ori matmul live
+
+
 def _kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
                bf16_matmul: bool = False, bf16_act: bool = False,
                hoist_mask: bool = False):
@@ -522,13 +585,17 @@ def _kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
 
 
 @partial(jax.jit, static_argnames=("cfg", "tile", "bf16_matmul", "bf16_act",
-                                   "hoist_mask", "interpret"))
+                                   "hoist_mask", "interpret", "ablate",
+                                   "parallel_grid", "slot_major_input"))
 def fused_describe_clusters_2d(weights: List[Array], clusters: Array,
                                cfg: ModelConfig, tile: int = 64,
                                bf16_matmul: bool = False,
                                bf16_act: bool = False,
                                hoist_mask: bool = False,
-                               interpret: Optional[bool] = None
+                               interpret: Optional[bool] = None,
+                               ablate: Optional[str] = None,
+                               parallel_grid: bool = False,
+                               slot_major_input: bool = False
                                ) -> Tuple[Array, Array]:
     """Fully 2-D slot-major variant of fused_describe_clusters.
 
@@ -558,15 +625,37 @@ def fused_describe_clusters_2d(weights: List[Array], clusters: Array,
     at tile 128, slower at every tile — the extra (ns, tile, 1) stream
     + XLA prep outweigh the removed ~25 column ops), so OFF by default;
     kept for configs where the membership chain dominates (tiny towers).
+
+    ablate ('stream' | 'matmul'): BENCH-ONLY time-decomposition bodies
+    (see _ablate_kernel_2d) — outputs are NOT descriptors.
+    parallel_grid: declare the grid dimension 'parallel' to Mosaic
+    (grid steps are independent here — each tile's clusters are
+    disjoint), allowing cross-step scheduling freedom. Output-equal;
+    speed measured in benchmarks/probe_serving_ablation.py.
+    slot_major_input: clusters are ALREADY (ns, B, 3) slot-major with B a
+    multiple of tile — skips the on-device pad+transpose, which the r4
+    ablation measured as the kernel call's dominant cost (the (B, ns, 3)
+    → (ns, B, 3) relayout, probe_serving_prep.py). Callers that control
+    the cluster layout (host packing, or an upstream gather that can emit
+    slot-major) should use this.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, ns, _ = clusters.shape
+    if slot_major_input:
+        ns, b = clusters.shape[0], clusters.shape[1]
+    else:
+        b, ns = clusters.shape[0], clusters.shape[1]
     assert ns == cfg.num_samples, f"cluster size {ns} != num_samples {cfg.num_samples}"
     assert ns & (ns - 1) == 0, "slot-major kernel needs power-of-two ns"
     pad = -b % tile
-    padded = jnp.pad(clusters.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
-    n_tiles = padded.shape[0] // tile
+    if slot_major_input:
+        assert pad == 0, "slot_major_input requires B % tile == 0"
+        assert not hoist_mask
+        padded = clusters.astype(jnp.float32)
+    else:
+        padded = jnp.pad(clusters.astype(jnp.float32),
+                         ((0, pad), (0, 0), (0, 0)))
+    n_tiles = (b + pad) // tile
 
     extra_in, extra_specs = [], []
     if hoist_mask:
@@ -583,12 +672,22 @@ def fused_describe_clusters_2d(weights: List[Array], clusters: Array,
         extra_specs = [pl.BlockSpec((ns, tile, 1), lambda i: (0, i, 0),
                                     memory_space=pltpu.VMEM)]
         padded = padded * (1.0 / jnp.float32(cfg.base_scale))
-    slot_major = jnp.transpose(padded, (1, 0, 2))             # (ns, B, 3)
+    slot_major = (padded if slot_major_input
+                  else jnp.transpose(padded, (1, 0, 2)))      # (ns, B, 3)
 
+    if ablate is not None:
+        body = partial(_ablate_kernel_2d, cfg=cfg, tc=tile, ns=ns,
+                       ablate=ablate)
+    else:
+        body = partial(_kernel_2d, cfg=cfg, tc=tile, ns=ns,
+                       bf16_matmul=bf16_matmul, bf16_act=bf16_act,
+                       hoist_mask=hoist_mask)
+    params = dict(vmem_limit_bytes=100 * 1024 * 1024)
+    if parallel_grid:
+        params["dimension_semantics"] = ("parallel",)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
     desc, att = pl.pallas_call(
-        partial(_kernel_2d, cfg=cfg, tc=tile, ns=ns, bf16_matmul=bf16_matmul,
-                bf16_act=bf16_act, hoist_mask=hoist_mask),
+        body,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((ns, tile, 3), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)] + extra_specs + w_specs,
@@ -598,14 +697,225 @@ def fused_describe_clusters_2d(weights: List[Array], clusters: Array,
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((padded.shape[0], cfg.feature_dim), jnp.float32),
-            jax.ShapeDtypeStruct((padded.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((b + pad, cfg.feature_dim), jnp.float32),
+            jax.ShapeDtypeStruct((b + pad, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(**params),
+        interpret=interpret,
+    )(slot_major, *extra_in, *weights)
+    return desc[:b], att[:b, 0]
+
+
+# ---------------------------------------------------------------------------
+# Lane-dense transposed serving kernel (round 4).
+#
+# The r4 ablation (benchmarks/probe_serving_ablation.py + probe_serving_prep
+# + probe_dense_layout) measured the slot-major kernel's call time as ~75 %
+# DMA/prep and only ~1.2 ms/apply of actual tower compute: every array with
+# a trailing coordinate dim of 3 is lane-padded 3 → 128 on TPU (42× physical
+# bytes — a (7680, 64, 3) f32 batch stores 251 MB), so the XLA-side
+# elementwise prep and the kernel's block DMA stream mostly padding.
+#
+# Fix: a TRANSPOSED formulation where CLUSTERS live in lanes and
+# (slot, channel) pairs in sublanes — no (…, 3) array anywhere:
+#   input  (ns·8, B): slot s occupies rows [8s, 8s+8), rows 0-2 = x/y/z,
+#          rows 3-7 zero (8-row padding keeps every per-slot slice
+#          tile-aligned; the zeros flow through K-padded weights as exact
+#          +0.0). Lane-dense: B clusters in lanes.
+#   compute: activations are (C, tile) with C ≤ 256 sublanes — matmuls run
+#          Wᵀ (Cout, Cin) @ H (Cin, tile); slot pools are running 2-D
+#          maxima across the ns-iteration slot loop (the hash_grid
+#          pattern); reductions (counts, norms) are full-array sublane
+#          reduces; NO rank-3 ops, NO misaligned slices.
+#   output (D, B) + (8, B): lane-dense.
+# ---------------------------------------------------------------------------
+
+
+def pack_clusters_lanes(clusters: np.ndarray) -> np.ndarray:
+    """Host packer: (B, ns, 3) float32 -> (ns·8, B) lane-dense layout for
+    fused_describe_clusters_t. Pure numpy (runs on serving prep threads)."""
+    b, ns, _ = clusters.shape
+    out = np.zeros((ns, 8, b), np.float32)
+    out[:, :3, :] = np.transpose(clusters[:, :, :3], (1, 2, 0))
+    return out.reshape(ns * 8, b)
+
+
+def pack_clusters_lanes_jnp(clusters: Array) -> Array:
+    """Device packer (tests / device-resident callers). NOTE: this pays the
+    lane-padded relayout the packed layout exists to avoid — production
+    callers should pack on the host (pack_clusters_lanes) or emit the
+    layout directly."""
+    b, ns, _ = clusters.shape
+    out = jnp.zeros((ns, 8, b), jnp.float32)
+    out = out.at[:, :3, :].set(jnp.transpose(clusters[:, :, :3], (1, 2, 0)))
+    return out.reshape(ns * 8, b)
+
+
+def transpose_folded_weights(weights: List[Array]) -> List[Array]:
+    """folded_weights() list -> the transposed-kernel layout: kernels
+    (Cin, Cout) -> (Cout, Cin) with K=3 input layers zero-padded to K=8
+    (matching the 8-row slot blocks — zeros contribute exact +0.0); biases
+    -> (Cout, 1) columns."""
+    out: List[Array] = []
+    for i in range(0, len(weights), 2):
+        k, b = weights[i], weights[i + 1]
+        kt = jnp.transpose(k)
+        if kt.shape[1] == 3:
+            kt = jnp.pad(kt, ((0, 0), (0, 5)))
+        out.append(kt)
+        out.append(b[:, None])
+    return out
+
+
+def _kernel_t(x_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
+              bf16_act: bool = False):
+    weights = refs[:-2]
+    desc_ref, att_ref = refs[-2], refs[-1]
+    widx = 0
+    act_t = jnp.bfloat16 if bf16_act else jnp.float32
+
+    def next_w():
+        nonlocal widx
+        k, b = weights[widx][...], weights[widx + 1][...]
+        widx += 2
+        if bf16_act:
+            k = k.astype(jnp.bfloat16)
+        return k, b
+
+    def mm(k, a):
+        if bf16_act:
+            a = a.astype(jnp.bfloat16)
+        return jnp.dot(k, a, preferred_element_type=jnp.float32)
+
+    r2 = jnp.float32(cfg.base_scale) ** 2
+    inv_r = 1.0 / jnp.float32(cfg.base_scale)
+
+    # ---- per-slot coordinate blocks + membership --------------------------
+    xs = [x_ref[8 * s:8 * s + 8, :] for s in range(ns)]       # (8, tc) each
+    d2_rows = [jnp.sum(x * x, axis=0, keepdims=True) for x in xs]
+    d2 = jnp.concatenate(d2_rows, axis=0)                     # (ns, tc)
+    in_ball = (d2 < r2).astype(jnp.float32)
+    cnt = jnp.sum(in_ball, axis=0, keepdims=True)             # (1, tc)
+    empty = (cnt < 0.5).astype(jnp.float32)
+    # nearest fallback: FIRST slot attaining the min distance (the
+    # reference ball query's tie order)
+    dmin = jnp.min(d2, axis=0, keepdims=True)                 # (1, tc)
+    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (ns, tc), 0)
+    first = jnp.min(jnp.where(d2 <= dmin, iota_rows, ns), axis=0,
+                    keepdims=True)                            # (1, tc) int32
+    # per-slot masks recomputed from d2_rows — (1, tc) values, no sublane
+    # slicing of the concatenated (ns, tc) array at arbitrary offsets
+    masks = [jnp.minimum((d2_rows[s] < r2).astype(jnp.float32)
+                         + empty * (first == s).astype(jnp.float32), 1.0)
+             for s in range(ns)]
+
+    # ---- detector tower: per-slot matmul chain, running masked max pool ---
+    n_det = len(cfg.detector_mlp)
+    det_w = [next_w() for _ in range(n_det)]
+    pool = None
+    for s in range(ns):
+        h = (xs[s] * inv_r).astype(act_t)                     # (8, tc)
+        for k, b in det_w:
+            h = jnp.maximum(mm(k, h) + b, 0.0).astype(act_t)
+        hm = h * masks[s].astype(act_t)                       # ReLU ≥ 0 ⇒ exact
+        pool = hm if pool is None else jnp.maximum(pool, hm)
+
+    g = pool
+    for _ in range(len(cfg.detector_mlp2)):
+        k, b = next_w()
+        g = jnp.maximum(mm(k, g) + b, 0.0).astype(act_t)
+    ka, ba = next_w()
+    att = jax.nn.softplus(mm(ka, g) + ba)                     # (1, tc)
+    ko, bo = next_w()
+    ori = mm(ko, g) + bo                                      # (2, tc)
+    ori = ori * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(ori * ori, axis=0, keepdims=True), 1e-8))
+    c_r, s_r = ori[0:1, :], ori[1:2, :]                       # (1, tc)
+
+    # ---- canonicalize + descriptor tower ----------------------------------
+    n_desc = len(cfg.descriptor_mlp)
+    desc_w = [next_w() for _ in range(n_desc)]
+    km, bm = next_w()                                         # conv_mid_0
+    kp, bp = next_w()                                         # conv_post_0
+
+    d_slots, dpool = [], None
+    for s in range(ns):
+        x = xs[s] * inv_r                                     # (8, tc)
+        xr = x[0:1, :] * c_r - x[1:2, :] * s_r
+        yr = x[0:1, :] * s_r + x[1:2, :] * c_r
+        rot = jnp.concatenate(
+            [xr, yr, x[2:3, :], jnp.zeros((5, tc), jnp.float32)],
+            axis=0).astype(act_t)                             # (8, tc)
+        h = rot
+        for k, b in desc_w:
+            h = jnp.maximum(mm(k, h) + b, 0.0).astype(act_t)
+        d_slots.append(h)                                     # (C, tc)
+        hm = h * masks[s].astype(act_t)
+        dpool = hm if dpool is None else jnp.maximum(dpool, hm)
+
+    m = None
+    for s in range(ns):
+        cat = jnp.concatenate([d_slots[s], dpool], axis=0)    # (2C, tc)
+        y = mm(km, cat) + bm                                  # (128, tc), no relu
+        y = jnp.where(masks[s] > 0.5, y.astype(act_t), act_t(-1.0e30))
+        m = y if m is None else jnp.maximum(m, y)
+    out = mm(kp, m) + bp                                      # (D, tc)
+    out = out * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(out * out, axis=0, keepdims=True), 1e-8))
+
+    desc_ref[...] = out
+    att_ref[...] = jnp.concatenate([att, jnp.zeros((7, tc), jnp.float32)],
+                                   axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "tile", "bf16_act", "interpret"))
+def fused_describe_clusters_t(weights_t: List[Array], clusters_p: Array,
+                              cfg: ModelConfig, tile: int = 256,
+                              bf16_act: bool = False,
+                              interpret: Optional[bool] = None
+                              ) -> Tuple[Array, Array]:
+    """Lane-dense transposed serving kernel: (ns·8, B) packed clusters
+    (pack_clusters_lanes) + transpose_folded_weights(folded_weights(...))
+    -> (descriptors (B, D), attention (B,)).
+
+    Same membership/tower algebra as fused_describe_clusters_2d — agreement
+    is gate-checked on chip (matmul operand order differs, so bit-equality
+    is checked empirically, serving rounding envelope otherwise). The point
+    of the layout: NO array in the entire call has a 3-wide lane dim, so
+    neither XLA prep nor the block DMA streams lane padding (the r4
+    ablation measured that padding as ~75 % of the 2-D kernel's call time).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows, b = clusters_p.shape
+    ns = rows // 8
+    assert rows == 8 * ns
+    assert ns == cfg.num_samples, f"{ns} != num_samples {cfg.num_samples}"
+    pad = -b % tile
+    padded = jnp.pad(clusters_p.astype(jnp.float32), ((0, 0), (0, pad)))
+    n_tiles = (b + pad) // tile
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights_t]
+    desc, att = pl.pallas_call(
+        partial(_kernel_t, cfg=cfg, tc=tile, ns=ns, bf16_act=bf16_act),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((8 * ns, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=(
+            pl.BlockSpec((cfg.feature_dim, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cfg.feature_dim, b + pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, b + pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(slot_major, *extra_in, *weights)
-    return desc[:b], att[:b, 0]
+    )(padded, *weights_t)
+    return jnp.transpose(desc[:, :b]), att[0, :b]
 
 
 def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int):

@@ -261,9 +261,10 @@ def phase_serving():
     from feat3dnet_tpu.config import ModelConfig
     from feat3dnet_tpu.models import Feat3DNet
     from feat3dnet_tpu.ops import ball_query, farthest_point_sample, gather_points, group_points
-    from feat3dnet_tpu.ops.fused_describe import (folded_weights,
-                                                  fused_describe_clusters,
-                                                  fused_describe_clusters_2d)
+    from feat3dnet_tpu.ops.fused_describe import (
+        folded_weights, fused_describe_clusters, fused_describe_clusters_2d,
+        fused_describe_clusters_t, pack_clusters_lanes,
+        transpose_folded_weights)
 
     cloud = load_oxford()
     cfg = ModelConfig()
@@ -285,11 +286,18 @@ def phase_serving():
                                          lane_pack=False)
     d_bf16, _ = fused_describe_clusters(weights, clusters, cfg,
                                         lane_pack=True, bf16_act=True)
-    # the DEFAULT serving path (slot-major fully-2D kernel, tile=256) must
-    # stay bit-exact vs the rank-3 kernel
+    # the slot-major fully-2D kernel must stay bit-exact vs the rank-3 one
     d_2d, _ = fused_describe_clusters_2d(weights, clusters, cfg, tile=256)
-    d_packed, d_plain, d_bf16, d_2d = map(
-        np.asarray, (d_packed, d_plain, d_bf16, d_2d))
+    # the r4 DEFAULT serving path: lane-dense transposed kernel on packed
+    # clusters (matmul operand order differs, so the gate checks cosine;
+    # bit-equality is reported informationally)
+    wt = transpose_folded_weights(weights)
+    packed = jnp.asarray(pack_clusters_lanes(np.asarray(clusters)))
+    d_t, a_t = fused_describe_clusters_t(wt, packed, cfg, tile=256)
+    d_t_bf16, _ = fused_describe_clusters_t(wt, packed, cfg, tile=256,
+                                            bf16_act=True)
+    d_packed, d_plain, d_bf16, d_2d, d_t, d_t_bf16 = map(
+        np.asarray, (d_packed, d_plain, d_bf16, d_2d, d_t, d_t_bf16))
 
     def min_cos(a, b):
         na = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
@@ -308,9 +316,16 @@ def phase_serving():
         "ok_lane_pack_exact": bool(np.array_equal(d_packed, d_plain)),
         "ok_flat2d_exact": bool(np.array_equal(d_2d, d_plain)),
         "ok_bf16_cos": min_cos(d_bf16, d_plain) >= 0.999,
+        "ok_kernel_t_cos": min_cos(d_t, d_plain) >= 0.999,
+        "ok_kernel_t_att": bool(np.allclose(np.asarray(a_t),
+                                            np.asarray(want.attention[:, 0]),
+                                            rtol=1e-3, atol=1e-4)),
+        "ok_kernel_t_bf16_cos": min_cos(d_t_bf16, d_t) >= 0.999,
         "cos_vs_model": min_cos(d_plain, ref_desc),
         "frac_cos_ge_9999": float((cos_all >= 0.9999).mean()),
         "cos_bf16": min_cos(d_bf16, d_plain),
+        "cos_kernel_t": min_cos(d_t, d_plain),
+        "kernel_t_bit_equal_2d": bool(np.array_equal(d_t, d_2d)),
     }
 
 

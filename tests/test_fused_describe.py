@@ -275,3 +275,43 @@ def test_fused_bf16_act_close_to_f32(rng):
     cos = np.sum(np.asarray(d32) * np.asarray(d16), axis=-1)
     assert np.min(cos) > 0.995
     np.testing.assert_allclose(np.asarray(a16), np.asarray(a32), rtol=0.02, atol=1e-4)
+
+
+def test_transposed_kernel_matches_2d(rng):
+    """Lane-dense transposed kernel (fused_describe_clusters_t): same
+    contract as the slot-major 2-D kernel — checked on mixed clusters
+    (in-ball, partial, empty-ball fallback) incl. non-tile-multiple
+    batches. Matmul operand order differs (Wᵀ@H vs H@W), so the CPU
+    check is allclose; on-chip equality is gate-checked."""
+    from feat3dnet_tpu.ops.fused_describe import (fused_describe_clusters_t,
+                                                  pack_clusters_lanes,
+                                                  pack_clusters_lanes_jnp,
+                                                  transpose_folded_weights)
+
+    cfg = ModelConfig(num_samples=8, feature_dim=32, base_scale=1.0)
+    model = Feat3DNet(cfg)
+    clusters = rng.randn(21, 8, 3).astype(np.float32) * 0.8
+    clusters[5] += 5.0          # empty ball -> nearest fallback
+    clusters[9, 4:] += 4.0      # partial ball
+    keypoints = jnp.zeros((21, 1, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(clusters),
+                           training=False, keypoints=keypoints)
+    variables = jax.tree.map(
+        lambda x: x + 0.05 if x.ndim == 1 else x, variables)
+    weights = folded_weights(variables, cfg)
+    weights_t = transpose_folded_weights(weights)
+
+    packed = pack_clusters_lanes(clusters)
+    assert packed.shape == (8 * 8, 21)
+    np.testing.assert_array_equal(
+        packed, np.asarray(pack_clusters_lanes_jnp(jnp.asarray(clusters))))
+
+    with pltpu.force_tpu_interpret_mode():
+        d2d, a2d = fused_describe_clusters_2d(
+            weights, jnp.asarray(clusters), cfg, tile=8)
+        dt, at = fused_describe_clusters_t(
+            weights_t, jnp.asarray(packed), cfg, tile=8)
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(d2d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(at), np.asarray(a2d),
+                               rtol=1e-4, atol=1e-5)

@@ -191,3 +191,66 @@ def test_remat_towers_bit_exact(rng):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     for x, y in zip(jax.tree.leaves(s0.batch_stats), jax.tree.leaves(s1.batch_stats)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_residual_dtype_bf16_close_and_eval_unchanged(rng):
+    """cfg.residual_dtype=bfloat16 (compressed saved activations): the
+    train step must run with the same param-tree structure, produce a loss
+    and grads CLOSE to the f32 baseline (forward is rounded to the bf16
+    grid at the squash points — not bit-exact by design), move batch_stats
+    equivalently, and leave EVAL mode bit-identical (squash is
+    training-only)."""
+    from feat3dnet_tpu.train.trainer import make_train_step, make_optimizer, TrainState
+
+    cfg0 = SMALL
+    cfg1 = ModelConfig(**{**SMALL.__dict__, "residual_dtype": jnp.bfloat16})
+    m0, m1 = Feat3DNet(cfg0), Feat3DNet(cfg1)
+    clouds = rng.randn(6, 128, 3).astype(np.float32)
+    v = m0.init(jax.random.PRNGKey(0), jnp.asarray(clouds[:3]), training=False)
+    v1 = m1.init(jax.random.PRNGKey(0), jnp.asarray(clouds[:3]), training=True)
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(v1["params"]))
+
+    # eval mode: squash inactive -> bit-identical outputs
+    cloud_eval = jnp.asarray(clouds[:2])
+    out0 = m0.apply(v, cloud_eval, training=False)
+    out1 = m1.apply(v, cloud_eval, training=False)
+    np.testing.assert_array_equal(np.asarray(out0.features),
+                                  np.asarray(out1.features))
+
+    tx = make_optimizer(1e-3)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
+                       batch_stats=v["batch_stats"], opt_state=tx.init(v["params"]))
+    a, p, n = (jnp.asarray(clouds[0:2]), jnp.asarray(clouds[2:4]),
+               jnp.asarray(clouds[4:6]))
+    s0, met0 = jax.jit(make_train_step(m0, tx, cfg0.margin, cfg0.attention))(state, a, p, n)
+    s1, met1 = jax.jit(make_train_step(m1, tx, cfg1.margin, cfg1.attention))(state, a, p, n)
+    l0, l1 = float(met0["loss"]), float(met1["loss"])
+    assert np.isfinite(l1)
+    assert abs(l1 - l0) <= 0.10 * max(abs(l0), 1e-3)
+    # the training SIGNAL must agree: global cosine between the f32 and
+    # bf16-residual gradient vectors (per-leaf Adam updates are ~sign(g)·lr
+    # at step 1 and flip on near-zero components — not a meaningful metric)
+    def grads_of(model, cfg):
+        def loss_fn(params):
+            out, _ = model.apply({"params": params,
+                                  "batch_stats": state.batch_stats},
+                                 jnp.concatenate([a, p, n], axis=0),
+                                 training=True, mutable=["batch_stats"])
+            fa, fp, fn = jnp.split(out.features, 3, axis=0)
+            att = jnp.split(out.attention, 3, axis=0)[0]
+            return alignment_triplet_loss(fa, fp, fn, att, cfg.margin)[0]
+        return jax.grad(loss_fn)(state.params)
+
+    g0 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(grads_of(m0, cfg0))])
+    g1 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(grads_of(m1, cfg1))])
+    cos = float(np.dot(g0, g1) / (np.linalg.norm(g0) * np.linalg.norm(g1) + 1e-20))
+    # 0.97, not 0.999: at this tiny random-init model a single bf16-induced
+    # hinge flip in the triplet loss moves the global cosine by ~1e-2; at
+    # paper scale agreement is far tighter (BENCHMARKS.md, measured on-chip)
+    assert cos > 0.97, cos
+    for x, y in zip(jax.tree.leaves(s0.batch_stats), jax.tree.leaves(s1.batch_stats)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=0.05, atol=1e-3)

@@ -249,3 +249,51 @@ def test_quantized_fused_step_single_and_dp(rng):
     for x, y in zip(jax.tree.leaves(s_dp.params), jax.tree.leaves(s_q.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=3 * lr)
+
+
+def test_cloud_mesh_extract_batch(rng):
+    """Cloud-per-device throughput serving (pipeline cloud_mesh): per-cloud
+    results must be BIT-equal to single-device extract() on each cloud
+    alone — each shard runs the same batched-extraction core a
+    single-device extract_batch of B/n_devices clouds would. Also checks
+    the non-multiple batch (padding clouds dropped) and extract_many
+    routing."""
+    from feat3dnet_tpu.config import InferenceConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 3)),
+                   training=False)
+    v = jax.tree.map(lambda x: x + 0.1 * rng.randn(*x.shape).astype(np.float32), v)
+
+    def cloud(n):
+        return (rng.rand(n, 3).astype(np.float32) - 0.5) * 15.0
+
+    clouds = [cloud(n) for n in (300, 250, 400, 350, 280, 320, 260, 380)]
+    icfg = InferenceConfig(use_hashed_grouping=True, keypoint_chunk=256,
+                           max_keypoints=32, nms_radius=1.0)
+    single = InferencePipeline(model, v, cfg, icfg)
+    meshed = InferencePipeline(model, v, cfg, icfg, cloud_mesh=make_mesh())
+
+    batch = meshed.extract_batch(clouds)
+    singles = [single.extract(c) for c in clouds]
+    for rb, rs in zip(batch, singles):
+        assert rb.num_keypoints == rs.num_keypoints
+        np.testing.assert_array_equal(rb.keypoints, rs.keypoints)
+        np.testing.assert_array_equal(rb.attention, rs.attention)
+        np.testing.assert_array_equal(rb.features, rs.features)
+
+    # non-multiple batch: 5 clouds on 8 devices (3 padding replicas dropped)
+    part = meshed.extract_batch(clouds[:5])
+    assert len(part) == 5
+    for rb, rs in zip(part, singles[:5]):
+        np.testing.assert_array_equal(rb.features, rs.features)
+
+    # extract_many routes through the mesh in mesh-sized chunks
+    many = meshed.extract_many(clouds[:3], batch_size=1)
+    assert len(many) == 3
+    for rb, rs in zip(many, singles[:3]):
+        np.testing.assert_array_equal(rb.features, rs.features)
