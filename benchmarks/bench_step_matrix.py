@@ -33,15 +33,31 @@ def main():
     orig = bg.use_fused_ball_query
 
     remat_only = "--remat-only" in sys.argv
-    # (label, fused_bq, trainer_full_remat, model_remat_towers)
-    variants = ([("dense", False, False, False),
-                 ("dense+remat", False, True, False),
-                 ("dense+rtowers", False, False, True)]
+    # (label, fused_bq, trainer_full_remat, model_remat_towers, resid16)
+    variants = ([("dense", False, False, False, False),
+                 ("dense+remat", False, True, False, False),
+                 ("dense+rtowers", False, False, True, False),
+                 ("dense+resid16", False, False, False, True)]
                 if remat_only else
-                [("fused", True, False, False),
-                 ("dense", False, False, False),
-                 ("dense+remat", False, True, False),
-                 ("dense+rtowers", False, False, True)])
+                [("fused", True, False, False, False),
+                 ("dense", False, False, False, False),
+                 ("dense+remat", False, True, False, False),
+                 ("dense+rtowers", False, False, True, False),
+                 ("dense+resid16", False, False, False, True)])
+
+    # per-CALL tunnel RTT baseline, subtracted from every chained timing
+    # (at K=16 the raw numbers would carry ~2 ms/step of dispatch)
+    @jax.jit
+    def null_call(x):
+        return x[0, 0, 0]
+    float(null_call(clouds))
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        float(null_call(clouds * 1.0000001))
+        rtts.append(time.time() - t0)
+    rtt = float(np.median(rtts))
+    print(f"null-call RTT: {rtt*1000:.1f} ms (subtracted)", flush=True)
 
     for dtype_name, dtype in (("float32", jnp.float32),
                               ("bfloat16", jnp.bfloat16)):
@@ -49,9 +65,9 @@ def main():
         model = Feat3DNet(cfg)
         state, tx = init_state(model, tcfg, cfg, jax.random.PRNGKey(0))
 
-        for label, enabled, remat, rtowers in variants:
-            mcfg = (ModelConfig(compute_dtype=dtype, remat_towers=True)
-                    if rtowers else cfg)
+        for label, enabled, remat, rtowers, resid16 in variants:
+            mcfg = ModelConfig(compute_dtype=dtype, remat_towers=rtowers,
+                               residual_dtype=jnp.bfloat16 if resid16 else None)
             step = make_fused_train_step(Feat3DNet(mcfg), tx, cfg.margin,
                                          cfg.attention, remat=remat)
             # force the kernel past its opt-in env gate for the A/B (the
@@ -73,7 +89,7 @@ def main():
                 float(jnp.sum(
                     s1.params["detection"]["conv0"]["conv2d"]["bias"]))
                 ts.append(time.time() - t0)
-            ms = float(np.median(ts)) / K * 1000
+            ms = (float(np.median(ts)) - rtt) / K * 1000
             print(f"{dtype_name:9s} {label:12s}: {ms:6.2f} ms/step device "
                   f"({1000/ms:5.1f} steps/s)", flush=True)
     bg.use_fused_ball_query = orig
