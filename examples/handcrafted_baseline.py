@@ -98,6 +98,14 @@ class HandcraftedExtractor:
 
     def extract(self, cloud: np.ndarray) -> BaselineResult:
         xyz = np.asarray(cloud[:, :3], np.float32)
+        # break point-ORDER correspondence between the two views of a pair:
+        # the dataset's se3_view preserves point ordering, so FPS from a
+        # fixed seed index would pick exactly corresponding points in both
+        # clouds — index leakage no real system has (the learned pipeline's
+        # NMS keypoints are order-insensitive). Permute deterministically
+        # from the cloud CONTENTS so repeated calls stay reproducible.
+        seed = int(np.abs(xyz[:16]).sum() * 1e3) % (2 ** 31)
+        xyz = xyz[np.random.RandomState(seed).permutation(xyz.shape[0])]
         idx = fps_numpy(xyz, self.max_keypoints)
         kp = xyz[idx]
         descs = np.empty((kp.shape[0], 24), np.float32)

@@ -394,11 +394,11 @@ class InferencePipeline:
             return describe(variables, cloud, valid_mask, kp, kp_att, num)
 
         if self._use_hashed():
-            from feat3dnet_tpu.ops.hash_grid import (SortedCloud,
-                                                     ball_max_csr,
-                                                     ball_max_sorted,
-                                                     ball_query_grouped_csr,
-                                                     ball_query_grouped_sorted)
+            from feat3dnet_tpu.ops.hash_grid import (
+                _FORI_MAX_POINTS_MERGE, SortedCloud, ball_max_csr,
+                ball_max_sorted, ball_query_grouped_csr,
+                ball_query_grouped_sorted, ball_query_planes_sorted,
+                planes_cnt_rows, unplane)
             from feat3dnet_tpu.ops.nms import select_keypoints
 
             core = self._hashed_attention_sorted(n_bucket)
@@ -408,6 +408,20 @@ class InferencePipeline:
             r = float(self.mcfg.base_scale)
             ns = self.mcfg.num_samples
             L, tc = layout or (self._HASH_BLOCK, self._HASH_TILE)
+            # planes mode (r4): under the fused-detector opt-in, keep the
+            # attention pass entirely in the merge kernel's lane-dense
+            # plane layout — no (M, ns, 3/4) materialization (32× lane
+            # padding; see BENCHMARKS.md extract roofline) and no rank-3
+            # detector input. Descriptor clusters gather from un-transposed
+            # single planes (bit-identical data movement).
+            use_planes = (icfg.use_fused_detector
+                          and not icfg.use_csr_kernels
+                          and nb <= _FORI_MAX_POINTS_MERGE
+                          and ns % 8 == 0
+                          # A/B escape hatch (benchmarks/probe_planes_ab):
+                          # 0 = the pre-r4 fused path (epilogue + rank-3
+                          # fused_detect_clusters_2d); read at build time
+                          and os.environ.get("F3D_PLANES", "1") != "0")
 
             @jax.jit
             def impl(variables, packed):
@@ -437,10 +451,24 @@ class InferencePipeline:
                     sc = SortedCloud(pts4=pts4, blk_bbox=blk_bbox,
                                      orig_idx=None, inv_perm=None,
                                      block_size=0)
-                    grouped, _, _ = ball_query_grouped_sorted(
-                        sc, centers_sorted, r, ns, tile=tc)
-                att_s, ori_s = core.detector_on_grouped(
-                    variables, grouped, centers_sorted)
+                    if use_planes:
+                        planes, cnt_plane = ball_query_planes_sorted(
+                            sc, centers_sorted, r, ns, tile=tc)
+                    else:
+                        grouped, _, _ = ball_query_grouped_sorted(
+                            sc, centers_sorted, r, ns, tile=tc)
+                if use_planes:
+                    from feat3dnet_tpu.ops.fused_describe import (
+                        folded_weights, fused_detect_planes_t,
+                        transpose_folded_weights)
+
+                    att_s, ori_s = fused_detect_planes_t(
+                        transpose_folded_weights(
+                            folded_weights(variables, self.mcfg)),
+                        planes, cnt_plane, centers_sorted, self.mcfg)
+                else:
+                    att_s, ori_s = core.detector_on_grouped(
+                        variables, grouped, centers_sorted)
                 # NMS survival on the sorted layout: a point survives iff
                 # its attention ties the ball max (same >= rule as
                 # nms_keypoints; invalid points sit at +1e9 in pts4 so they
@@ -473,7 +501,26 @@ class InferencePipeline:
                 # inv_perm maps ORIGINAL index -> sorted row (cloud above is
                 # pts4[inv_perm]), so it converts kp_idx directly.
                 kp_s = inv_perm[kp_idx[0]]                   # sorted-domain idx
-                offs_kp = grouped[kp_s] - centers_sorted[kp_s][:, None, :]
+                if use_planes:
+                    # gather the keypoints' clusters from single un-
+                    # transposed planes (64-lane dense rows — never the
+                    # 32×-padded (M, ns, 4) stack) + reference repeat-pad.
+                    # Empty balls are impossible for real keypoints (every
+                    # cloud point's ball contains itself).
+                    gx = unplane(planes[0], ns, nb)[kp_s]    # (K, ns)
+                    gy = unplane(planes[1], ns, nb)[kp_s]
+                    gz = unplane(planes[2], ns, nb)[kp_s]
+                    cnt_kp = jnp.minimum(
+                        planes_cnt_rows(cnt_plane, nb, tc)[kp_s],
+                        jnp.float32(ns))
+                    slot = jnp.arange(ns, dtype=jnp.float32)
+                    filled = slot[None, :] < cnt_kp[:, None]
+                    gath = jnp.stack([gx, gy, gz], axis=-1)  # (K, ns, 3)
+                    clusters_kp = jnp.where(filled[..., None], gath,
+                                            gath[:, 0:1, :])
+                    offs_kp = clusters_kp - centers_sorted[kp_s][:, None, :]
+                else:
+                    offs_kp = grouped[kp_s] - centers_sorted[kp_s][:, None, :]
                 feats = self._describe_at_keypoints(variables, offs_kp,
                                                     ori_s[kp_s])
                 # one flat f32 download buffer — see _host_sort_packed

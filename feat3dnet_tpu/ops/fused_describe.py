@@ -918,6 +918,130 @@ def fused_describe_clusters_t(weights_t: List[Array], clusters_p: Array,
     return jnp.transpose(desc[:, :b]), att[0, :b]
 
 
+def _detect_kernel_planes(px_ref, py_ref, pz_ref, cnt_ref, ctr_ref, *refs,
+                          cfg: ModelConfig, tc: int, ns: int):
+    """Detector tower directly on the merge kernel's lane-dense planes
+    (ops/hash_grid.ball_query_planes_sorted): rows = slots, lanes =
+    centers. Applies the reference repeat-pad semantics as slot-count
+    masks at the pools (set-invariance argument of _kernel; detector
+    pre-pool layers are all ReLU, so zero-masking is exact). Per-slot
+    work is the kernel_t pattern: 8-aligned block loads, value-level row
+    extraction, matmul chains on (C, tc) activations."""
+    weights = refs[:-1]
+    out_ref = refs[-1]
+    widx = 0
+
+    def next_w():
+        nonlocal widx
+        k, b = weights[widx][...], weights[widx + 1][...]
+        widx += 2
+        return k, b
+
+    def mm(k, a):
+        return jnp.dot(k, a, preferred_element_type=jnp.float32)
+
+    inv_r = 1.0 / jnp.float32(cfg.base_scale)
+    ctr8 = ctr_ref[...]                                       # (8, tc)
+    cx, cy, cz = ctr8[0:1, :], ctr8[1:2, :], ctr8[2:3, :]
+    cnt = cnt_ref[0:1, :]                                     # (1, tc)
+
+    n_det = len(cfg.detector_mlp)
+    det_w = [next_w() for _ in range(n_det)]
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]        # (ns, tc)
+
+    pool = None
+    for g in range(ns // 8):
+        x8 = px[8 * g:8 * g + 8, :]
+        y8 = py[8 * g:8 * g + 8, :]
+        z8 = pz[8 * g:8 * g + 8, :]
+        for i in range(8):
+            s = 8 * g + i
+            ox = (x8[i:i + 1, :] - cx) * inv_r                # (1, tc)
+            oy = (y8[i:i + 1, :] - cy) * inv_r
+            oz = (z8[i:i + 1, :] - cz) * inv_r
+            h = jnp.concatenate(
+                [ox, oy, oz, jnp.zeros((5, tc), jnp.float32)], axis=0)
+            for k, b in det_w:
+                h = jnp.maximum(mm(k, h) + b, 0.0)
+            # repeat-pad ⇒ slots ≥ cnt never change the max; ReLU ≥ 0 so
+            # zero-masking is exact. Empty balls (cnt = 0: only padded /
+            # invalid centers — a real center's ball contains itself)
+            # pool to 0, finite through the heads, discarded downstream.
+            mask_s = (jnp.float32(s) < cnt).astype(jnp.float32)
+            hm = h * mask_s
+            pool = hm if pool is None else jnp.maximum(pool, hm)
+
+    g2 = pool
+    for _ in range(len(cfg.detector_mlp2)):
+        k, b = next_w()
+        g2 = jnp.maximum(mm(k, g2) + b, 0.0)
+    ka, ba = next_w()
+    att = jax.nn.softplus(mm(ka, g2) + ba)                    # (1, tc)
+    ko, bo = next_w()
+    ori = mm(ko, g2) + bo                                     # (2, tc)
+    ori = ori * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(ori * ori, axis=0, keepdims=True), 1e-8))
+
+    out_ref[...] = jnp.concatenate(
+        [att, ori, jnp.zeros((5, tc), jnp.float32)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def fused_detect_planes_t(weights_t: List[Array], planes, cnt_plane: Array,
+                          centers: Array, cfg: ModelConfig,
+                          interpret: Optional[bool] = None
+                          ) -> Tuple[Array, Array]:
+    """Detector pass directly on lane-dense merge planes: (topx, topy,
+    topz[, topk]) (tiles·ns, tc) + cnt blocks + (M, 3) centers ->
+    (attention (M,), orientation (M,) angle), in the planes' (sorted)
+    center order.
+
+    weights_t = transpose_folded_weights(folded_weights(...)) (descriptor
+    tail ignored). The whole attention pass touches NO lane-padded array:
+    planes in, 12 B/center out (vs the standard path's 32×-padded
+    (M, ns, 4) buffer + (chunk, ns, C) tower activations). Same rounding
+    envelope as fused_detect_clusters_2d — opt-in via use_fused_detector.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    px, py, pz = planes[0], planes[1], planes[2]
+    tc = px.shape[1]
+    ns = cfg.num_samples
+    tiles = px.shape[0] // ns
+    mp = tiles * tc
+    m = centers.shape[0]
+    n_det = 2 * (len(cfg.detector_mlp) + len(cfg.detector_mlp2) + 2)
+    det_w = list(weights_t[:n_det])
+
+    # transposed tile-padded centers, as in the merge prologue
+    centers_p = jnp.pad(centers.astype(jnp.float32), ((0, mp - m), (0, 0)),
+                        constant_values=1.0e9)
+    ctrT = jnp.concatenate([centers_p.T, jnp.zeros((5, mp), jnp.float32)],
+                           axis=0)                            # (8, mp)
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in det_w]
+    out = pl.pallas_call(
+        partial(_detect_kernel_planes, cfg=cfg, tc=tc, ns=ns),
+        grid=(tiles,),
+        in_specs=[pl.BlockSpec((ns, tc), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec((8, tc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+           pl.BlockSpec((8, tc), lambda i: (0, i), memory_space=pltpu.VMEM)]
+        + w_specs,
+        out_specs=pl.BlockSpec((8, tc), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles * 8, tc), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(px, py, pz, cnt_plane, ctrT, *det_w)
+    rows = out.reshape(tiles, 8, tc)
+    att = rows[:, 0].reshape(mp)[:m]
+    ori = jnp.arctan2(rows[:, 2].reshape(mp)[:m],
+                      rows[:, 1].reshape(mp)[:m])
+    return att, ori
+
+
 def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
     """Detector-only slot-major kernel: membership chain + detector tower
     + attention/orientation heads of `_kernel_2d`, with the descriptor

@@ -817,14 +817,20 @@ def _bq_kernel_t_fori(hit_ref, ctrT_ref, pts_ref, ptsT_ref,
 
 
 @partial(jax.jit, static_argnames=("nsample", "radius", "tile", "interpret",
-                                   "fill_gate"))
+                                   "fill_gate", "raw_planes"))
 def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                           radius: float, nsample: int, tile: int = 128,
                           interpret: Optional[bool] = None,
                           block_mask: Optional[Array] = None,
-                          fill_gate: bool = False):
+                          fill_gate: bool = False,
+                          raw_planes: bool = False):
     """Whole-cloud-in-VMEM fori-loop driver — same contract (and bit-equal
-    outputs) as _bq_sorted_raw_t."""
+    outputs) as _bq_sorted_raw_t.
+
+    raw_planes: skip the epilogue un-transpose entirely and return the
+    kernel's LANE-DENSE outputs (topx, topy, topz, topk (tiles·ns, tc),
+    cnt_rows (tiles·8, tc)) — for planes-consuming tower kernels that
+    never materialize the 32×-lane-padded (M, ns, 4) buffer."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ns = nsample
@@ -868,6 +874,8 @@ def _bq_sorted_raw_t_fori(sc_pts4: Array, sc_blk_bbox: Array, centers: Array,
                           if fill_gate else []),
         interpret=interpret,
     )(hitmask, ctrT, sc_pts4, ptsT_blocks)
+    if raw_planes:
+        return topx, topy, topz, topk, cnt
     return _merge_epilogue_t(topx, topy, topz, topk, cnt,
                              tiles, ns, tc, mp, m)
 
@@ -978,6 +986,54 @@ def ball_query_grouped_sorted(
                        float(radius), nsample, tile=tile,
                        interpret=interpret, block_mask=block_mask)
     return _finish_grouped(top, cnt_raw, centers, nsample)
+
+
+def ball_query_planes_sorted(
+    sc: SortedCloud, centers: Array, radius: float, nsample: int,
+    tile: int = 128, interpret: Optional[bool] = None,
+    block_mask: Optional[Array] = None,
+) -> Tuple[Tuple[Array, Array, Array, Array], Array]:
+    """Grouped ball query returning the transposed merge kernel's raw
+    LANE-DENSE outputs — no (M, ns, 4) materialization.
+
+    The standard ball_query_grouped_sorted epilogue un-transposes the
+    kernel's (tiles·ns, tile) planes into an (M, ns, 4) buffer whose lane
+    dim pads 4 → 128 (32× physical bytes; the r4 extract roofline measured
+    the padded grouped tensor at 4 GiB for 96 MiB logical at 131k).
+    Planes-consuming tower kernels (fused_detect_planes_t) read this
+    layout directly instead.
+
+    Returns ((topx, topy, topz, topk) each (tiles·ns, tile) — absolute
+    selected coords / original-index-or-+inf keys, rows = slots, lanes =
+    tile-padded centers in order — and cnt_plane (tiles·8, tile) with the
+    per-center count in row 0 of each block). Consumers apply the
+    reference repeat-pad semantics themselves (slot < min(cnt, ns));
+    selection content is bit-identical to ball_query_grouped_sorted (the
+    epilogue is pure data movement). Fori driver only — the cloud must
+    fit the VMEM budget (see _FORI_MAX_POINTS_MERGE)."""
+    assert _USE_TRANSPOSED_MERGE
+    assert sc.pts4.shape[0] <= _FORI_MAX_POINTS_MERGE, (
+        f"planes path requires the fori driver "
+        f"({sc.pts4.shape[0]} > {_FORI_MAX_POINTS_MERGE} points)")
+    topx, topy, topz, topk, cnt = _bq_sorted_raw_t_fori(
+        sc.pts4, sc.blk_bbox, centers, float(radius), nsample, tile=tile,
+        interpret=interpret, block_mask=block_mask, raw_planes=True)
+    return (topx, topy, topz, topk), cnt
+
+
+def planes_cnt_rows(cnt_plane: Array, m: int, tile: int) -> Array:
+    """(tiles·8, tile) cnt blocks -> (m,) per-center counts (row 0)."""
+    tiles = cnt_plane.shape[0] // 8
+    return cnt_plane.reshape(tiles, 8, tile)[:, 0].reshape(-1)[:m]
+
+
+def unplane(plane: Array, ns: int, m: int) -> Array:
+    """(tiles·ns, tile) plane -> (m, ns) center-major rows (the epilogue's
+    un-transpose for ONE payload — 64-lane dense, no 4-wide stack)."""
+    tc = plane.shape[1]
+    tiles = plane.shape[0] // ns
+    return jnp.swapaxes(plane.reshape(tiles, ns, tc), 1, 2).reshape(
+        tiles * tc, ns)[:m]
 
 
 def _finish_grouped(top: Array, cnt_raw: Array, centers: Array, ns: int

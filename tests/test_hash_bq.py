@@ -643,3 +643,59 @@ def test_ball_max_grid_matches_fori(rng):
     bm_grid = ball_max_sorted(sc.pts4, sc.blk_bbox, att_sorted, radius,
                               tile=32, max_fori_points=0)
     np.testing.assert_array_equal(np.asarray(bm_grid), np.asarray(bm_fori))
+
+
+def test_planes_path_matches_grouped_and_detector(rng):
+    """Lane-dense planes path (r4): (a) un-transposing the raw planes +
+    repeat-pad must reproduce ball_query_grouped_sorted BIT-exactly (the
+    epilogue is pure data movement); (b) the planes detector kernel must
+    match the XLA detector tower on the same neighborhoods."""
+    import jax
+    from feat3dnet_tpu.config import ModelConfig
+    from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.ops.fused_describe import (folded_weights,
+                                                  fused_detect_planes_t,
+                                                  transpose_folded_weights)
+    from feat3dnet_tpu.ops.hash_grid import (SortedCloud, _finish_grouped,
+                                             ball_query_grouped_sorted,
+                                             ball_query_planes_sorted,
+                                             build_sorted_cloud_host,
+                                             planes_cnt_rows, unplane)
+
+    n, L, tc, ns, r = 768, 64, 32, 8, 1.5
+    pts = _clouds(rng, n, spread=12.0, clusters=4)
+    sc = build_sorted_cloud_host(pts, np.ones(n, bool), cell_size=r,
+                                 block_size=L)
+    scd = SortedCloud(pts4=jnp.asarray(sc.pts4),
+                      blk_bbox=jnp.asarray(sc.blk_bbox), orig_idx=None,
+                      inv_perm=None, block_size=0)
+    centers = scd.pts4[:, :3]
+
+    grouped, idx, cnt = ball_query_grouped_sorted(scd, centers, r, ns, tile=tc)
+    planes, cnt_plane = ball_query_planes_sorted(scd, centers, r, ns, tile=tc)
+
+    top = jnp.stack([unplane(p, ns, n) for p in planes], axis=-1)
+    cnt_rows = planes_cnt_rows(cnt_plane, n, tc)
+    g2, i2, c2 = _finish_grouped(top, cnt_rows, centers, ns)
+    np.testing.assert_array_equal(np.asarray(grouped), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(c2))
+
+    # (b) planes detector vs the XLA detector tower
+    cfg = ModelConfig(num_clusters=-1, num_samples=ns, feature_dim=16,
+                      base_scale=r, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)),
+                   training=False)
+    v = jax.tree.map(lambda x: x + 0.05 if x.ndim == 1 else x, v)
+    normalized = (grouped - centers[:, None, :]) / r
+    att_ref, ori_ref = model.apply(v, normalized[None], training=False,
+                                   method=Feat3DNet.detect_clusters)
+    wt = transpose_folded_weights(folded_weights(v, cfg))
+    att_p, ori_p = fused_detect_planes_t(wt, planes, cnt_plane, centers, cfg)
+    np.testing.assert_allclose(np.asarray(att_p), np.asarray(att_ref[0]),
+                               rtol=1e-4, atol=1e-5)
+    # compare orientations as unit vectors (angles wrap at ±pi)
+    np.testing.assert_allclose(
+        np.asarray(jnp.cos(ori_p - ori_ref[0])), 1.0, atol=1e-6)
