@@ -66,6 +66,13 @@ class ModelConfig:
     compute_dtype: Any = jnp.float32
     remat_towers: bool = False
     residual_dtype: Any = None
+    # fused_towers (training-only, TPU): run the pre-pool tower segments
+    # through the multi-pass Pallas fwd+bwd pipeline (ops/fused_train.py)
+    # instead of the XLA towers — no inter-layer activation ever touches
+    # HBM (recompute-from-input in VMEM; bf16-streamed cotangents). Same
+    # BN semantics to accumulation order; NOT bit-exact vs the default.
+    # f32 compute only; ignored at eval or when keypoints vary.
+    fused_towers: bool = False
 
     # MLP widths (reference feat3dnet.py:278-301). Descriptor mlp2 widens to
     # [256] when feature_dim > 64, matching feat3dnet.py:300.

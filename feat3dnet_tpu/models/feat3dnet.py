@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from feat3dnet_tpu.config import ModelConfig
-from feat3dnet_tpu.models.layers import ConvBN, l2_normalize, residual_save_policy
+from feat3dnet_tpu.models.layers import (ConvBN, ConvBNParams, l2_normalize,
+                                         residual_save_policy)
 from feat3dnet_tpu.ops import ball_query, farthest_point_sample, gather_points, group_points
 
 Array = jax.Array
@@ -103,6 +104,49 @@ def _group_normalized(
     return grouped, idx, cnt
 
 
+def _use_fused_towers(cfg: ModelConfig, training: bool) -> bool:
+    """The fused Pallas tower pipeline applies only to f32 training on
+    TPU (interpret mode covers CPU tests via the kernels' own tests)."""
+    return (cfg.fused_towers and training
+            and cfg.compute_dtype == jnp.float32)
+
+
+def _fused_prepool(module, grouped: Array, names, widths, plan,
+                   cfg: ModelConfig, bn_axis_name) -> Array:
+    """Run a pre-pool tower segment through ops/fused_train's multi-pass
+    Pallas pipeline: (B, M, ns, 3) grouped -> (B, M, 1, C_top) pooled.
+
+    Parameters/stats live in ConvBNParams blocks whose variable tree is
+    IDENTICAL to the ConvBN stack's, so checkpoints and the default XLA
+    path are interchangeable. The EMA batch_stats updates are written
+    with the kernel's batch moments (flax-identical formula, tested)."""
+    from feat3dnet_tpu.ops.fused_train import (plan_conv_widths,
+                                               tower_prepool_fused)
+
+    b, m, ns, cin = grouped.shape
+    io = plan_conv_widths(plan, tuple(widths), cin)
+    blocks = [ConvBNParams(co, ci, bn_momentum=cfg.bn_momentum, name=nm)
+              for nm, (ci, co) in zip(names, io)]
+    flat = []
+    for blk in blocks:
+        flat += list(blk())
+
+    g = b * m
+    ct = 128 if g % 128 == 0 else min(g, 128)
+    gp = -(-g // ct) * ct
+    x_sm = jnp.transpose(grouped.astype(jnp.float32), (2, 0, 1, 3)
+                         ).reshape(ns, g, cin)
+    if gp > g:
+        x_sm = jnp.pad(x_sm, ((0, 0), (0, gp - g), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+    pooled, (means, vars_) = tower_prepool_fused(
+        x_sm, tuple(flat), plan, tuple(widths), ns, g,
+        float(cfg.bn_epsilon), ct, interpret, bn_axis_name)
+    for blk, mean, var in zip(blocks, means, vars_):
+        blk(mean, var)
+    return pooled[:g].reshape(b, m, 1, -1)
+
+
 def _maybe_remat(per_point, cfg: ModelConfig, training: bool):
     """Wrap a tower's pre-pool segment per the config's residual policy.
 
@@ -149,8 +193,16 @@ class Detector(nn.Module):
                 h = conv(f, f"conv{i}")(h, training)
             return jnp.max(h, axis=2, keepdims=True)   # pool over samples
 
-        per_point = _maybe_remat(per_point, cfg, training)
-        x = per_point(self, x)
+        if _use_fused_towers(cfg, training):
+            from feat3dnet_tpu.ops.fused_train import detector_plan
+
+            x = _fused_prepool(
+                self, x, [f"conv{i}" for i in range(len(cfg.detector_mlp))],
+                cfg.detector_mlp, detector_plan(len(cfg.detector_mlp)),
+                cfg, self.bn_axis_name)
+        else:
+            per_point = _maybe_remat(per_point, cfg, training)
+            x = per_point(self, x)
         for i, f in enumerate(cfg.detector_mlp2):
             x = conv(f, f"conv_post_{i}")(x, training)
 
@@ -203,8 +255,19 @@ class Descriptor(nn.Module):
                 h = conv(f, f"conv_mid_{i}", act)(h, training)
             return jnp.max(h, axis=2, keepdims=True)
 
-        per_point = _maybe_remat(per_point, cfg, training)
-        x = per_point(self, grouped.astype(cfg.compute_dtype))
+        if _use_fused_towers(cfg, training):
+            from feat3dnet_tpu.ops.fused_train import descriptor_plan
+
+            mlp, mlp2 = cfg.descriptor_mlp, cfg.descriptor_mlp2
+            names = ([f"conv{i}" for i in range(len(mlp))]
+                     + [f"conv_mid_{i}" for i in range(len(mlp2))])
+            x = _fused_prepool(
+                self, grouped, names, tuple(mlp) + tuple(mlp2),
+                descriptor_plan(len(mlp), len(mlp2)), cfg,
+                self.bn_axis_name)
+        else:
+            per_point = _maybe_remat(per_point, cfg, training)
+            x = per_point(self, grouped.astype(cfg.compute_dtype))
 
         mlp3 = cfg.descriptor_mlp3
         for i, f in enumerate(mlp3):

@@ -97,6 +97,71 @@ class ConvBN(nn.Module):
         return x
 
 
+class _DenseVars(nn.Module):
+    """nn.Dense's exact parameter surface (kernel/bias, same names,
+    shapes, and initializers) without the computation."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
+class _BNVars(nn.Module):
+    """nn.BatchNorm's exact variable surface (params scale/bias,
+    batch_stats mean/var) without the computation; performs the EMA
+    batch_stats write when given batch moments."""
+
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros_init(), None,
+                                (self.features,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones_init(), None,
+                               (self.features,), jnp.float32)
+        if batch_mean is not None and not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * batch_mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * batch_var
+        return scale, bias
+
+
+class ConvBNParams(nn.Module):
+    """ConvBN's parameter/stat surface for the fused-tower kernels
+    (ops/fused_train.py): declares the IDENTICAL variable tree
+    (conv2d/kernel, conv2d/bias, bn/scale, bn/bias; batch_stats
+    bn/mean, bn/var — so TF1-mapped checkpoints and the default XLA
+    path are interchangeable) without computing anything. Call once to
+    read (W, b, gamma, beta); call again with the fused kernel's batch
+    moments to write the flax-identical EMA update."""
+
+    features: int
+    cin: int
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None):
+        kernel, bias = _DenseVars(self.features, self.cin,
+                                  name="conv2d")()
+        scale, beta = _BNVars(self.features, self.bn_momentum,
+                              name="bn")(batch_mean, batch_var)
+        return kernel, bias, scale, beta
+
+
 class FullyConnected(nn.Module):
     """Dense + optional BN + activation.
 

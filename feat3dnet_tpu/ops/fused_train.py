@@ -1,4 +1,4 @@
-"""Fused training-mode tower kernels: ConvBN pre-pool segment, fwd+bwd.
+"""Fused training-mode tower kernels: ConvBN pre-pool segments, fwd+bwd.
 
 The r4 train-step anatomy (docs/BENCHMARKS.md, probe_towers_anatomy)
 measured the f32 detector+descriptor towers at 18.6 ms/step against a
@@ -8,33 +8,42 @@ training BN into the matmuls (batch moments are global), and the
 backward pass re-reads ~2 GiB of saved activations per step
 ((B·M·ns, 256) alone is 604 MB).
 
-This module rebuilds the pre-pool tower segment (behavior spec:
-reference models/feat3dnet.py:99-127 detection MLP + maxpool, TF
-slim conv2d + EMA BN) as a multi-pass Pallas pipeline that never
-materializes an inter-layer activation in HBM:
+This module rebuilds the pre-pool tower segments (behavior spec:
+reference models/feat3dnet.py:99-151 detection MLP + maxpool and
+pointnet_sa_module's MLP -> pool-concat -> MLP2, TF slim conv2d + EMA
+BN) as a multi-pass Pallas pipeline that never materializes an
+inter-layer activation in HBM:
 
-  forward   one stats pass per layer: recompute the tower prefix
+  forward   one stats pass per conv: recompute the tower prefix
             tile-by-tile in VMEM (folded BN affines of the already-
-            finalized layers), accumulate the new layer's masked
+            finalized convs), accumulate the new conv's masked
             per-channel sum/sumsq across the sequential grid, finalize
             the BN affine in XLA (tiny (C,) math); then one final pass
             recomputing everything + the slot max-pool.
   backward  a top pass that re-derives the pool routing (bit-identical
             recompute => exact tie masks) and accumulates the top
-            layer's BN-backward reductions (sum dz, sum dz*xhat); then
-            one pass per layer, top-down, computing dW/db (grid-
+            conv's BN-backward reductions (sum dz, sum dz*xhat); then
+            one pass per conv, top-down, computing dW/db (grid-
             accumulated in VMEM), the propagated cotangent do_{l-1}
-            (stored bf16 — the only HBM tensor the pipeline streams),
-            and the NEXT layer's BN-backward reductions one pass ahead
-            (so each layer's global m1/m2 are finalized before its
-            apply pass).
+            (streamed bf16 — the only HBM tensor the pipeline touches
+            besides the input), and the NEXT conv's BN-backward
+            reductions one pass ahead (so each conv's global m1/m2 are
+            finalized before its apply pass).
+
+Tower structure is a static PLAN: ("conv", relu) entries consuming one
+(W, b, gamma, beta) quad each, plus ("poolcat",) — the descriptor's
+h := concat([h, broadcast(slotmax(h))], lanes) (pointnet_sa_module's
+pool-concat). A final slot max-pool always follows the last conv.
+  detector:   (("conv", True),) * len(detector_mlp)
+  descriptor: (("conv", True),) * len(mlp) + (("poolcat",),)
+              + (("conv", relu),) * len(mlp2)   [last relu=False]
 
 Why recompute-from-x instead of saving activations: the tower prefix
-costs c1+c2 « c3 MACs, every pass re-executes the identical instruction
-sequence (same shapes, same kernels) so recomputed values are
-bit-identical across passes — which makes the relu masks and the
-max-pool tie masks exact — and the pipeline's total HBM traffic drops
-to the (ns, G, 3) input + the bf16 cotangents.
+costs far fewer MACs than the top conv, every pass re-executes the
+identical instruction sequence (same shapes, same kernel ops) so
+recomputed values are bit-identical across passes — which makes the
+relu masks and the max-pool tie masks exact — and the pipeline's total
+HBM traffic drops to the (ns, G, 3) input + the bf16 cotangents.
 
 Numerical semantics: f32 matmuls and f32 BN statistics; structurally
 identical to flax.linen.BatchNorm training mode (biased variance, eps
@@ -43,10 +52,10 @@ differentiates THROUGH the batch moments). Differences from the XLA
 path: accumulation order of the global reductions, and bf16 rounding
 of the inter-layer cotangents (grads only — mirrors the rounding the
 shipped `residual_dtype=bfloat16` mode applies at its squash points).
-Max-pool backward splits cotangents EVENLY among ties — the same
-chooser rule as jax's reduce_max vjp, load-bearing under repeat-pad
-neighborhoods (padded slots are exact copies of a real slot and always
-tie with it).
+Max-pool backward (final and poolcat) splits cotangents EVENLY among
+ties — the same chooser rule as jax's reduce_max vjp, load-bearing
+under repeat-pad neighborhoods (padded slots are exact copies of a
+real slot and always tie with it).
 
 Layout: slot-major (ns, G, C) — each grid step owns every slot of a
 cluster tile, so pools are in-kernel loops over 2-D slices and every
@@ -57,7 +66,7 @@ The only lane-padded block is the (ns, ct, 3) input (42x VMEM pad on
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,12 +74,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
+Plan = Tuple[Tuple, ...]
 
 _VMEM = 100 * 1024 * 1024
 
 
+def detector_plan(n_convs: int) -> Plan:
+    return (("conv", True),) * n_convs
+
+
+def descriptor_plan(n_pre: int, n_mid: int) -> Plan:
+    mids = tuple(("conv", i < n_mid - 1) for i in range(n_mid))
+    return (("conv", True),) * n_pre + (("poolcat",),) + mids
+
+
+def plan_conv_widths(plan: Plan, widths: Tuple[int, ...], cin: int
+                     ) -> List[Tuple[int, int]]:
+    """Per conv: (input width, output width) implied by the plan."""
+    out, c, j = [], cin, 0
+    for op in plan:
+        if op[0] == "poolcat":
+            c = 2 * c
+        else:
+            out.append((c, widths[j]))
+            c = widths[j]
+            j += 1
+    return out
+
+
 def _row_mask(ns: int, ct: int, tile: Array, g_total: int) -> Array:
-    """(ns*ct, 1) f32: 1.0 where the row's cluster index < g_total."""
+    """(ns*ct, 1) f32: 1.0 where the row's cluster index is < g_total."""
     g_local = jax.lax.broadcasted_iota(jnp.int32, (ns * ct, 1), 0) % ct
     return (g_local + tile * ct < g_total).astype(jnp.float32)
 
@@ -89,22 +122,6 @@ def _mm_nt(a: Array, b: Array) -> Array:
     """a @ b^T without an explicit transpose: (R, K),(C, K) -> (R, C)."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-
-
-def _prefix(x_ref, params, upto: int, ns: int, ct: int
-            ) -> Tuple[List[Array], List[Array]]:
-    """Recompute layers 1..upto on the tile. params[l] = (w, b, a, c)
-    refs (folded affine: z = y*a + c, y = h@w + b). Returns (ys, os)
-    with os[0] = the 2-D input."""
-    h = x_ref[...].reshape(ns * ct, x_ref.shape[-1])
-    ys, os_ = [], [h]
-    for l in range(upto):
-        w, b, a, c = params[l]
-        y = _mm(h, w[...]) + b[...]
-        h = jnp.maximum(y * a[...] + c[...], 0.0)
-        ys.append(y)
-        os_.append(h)
-    return ys, os_
 
 
 def _accum(ref, i: Array, upd: Array) -> None:
@@ -130,7 +147,7 @@ def _pool_and_ties(h: Array, ns: int, ct: int) -> Tuple[Array, Array]:
 
 def _route_pool(h: Array, pool: Array, cnt: Array, dpool: Array,
                 ns: int, ct: int) -> Array:
-    """Even-split tie routing of dpool (ct, C) -> do (ns*ct, C)."""
+    """Even-split tie routing of dpool (ct, C) -> d_h (ns*ct, C)."""
     unit = dpool / cnt
     rows = []
     for s in range(ns):
@@ -139,20 +156,82 @@ def _route_pool(h: Array, pool: Array, cnt: Array, dpool: Array,
     return jnp.concatenate(rows, axis=0)
 
 
+def _poolcat_fwd(h: Array, ns: int, ct: int) -> Array:
+    """h := concat([h, broadcast(slotmax(h))], lanes)."""
+    pool, _ = _pool_and_ties(h, ns, ct)
+    bcast = jnp.concatenate([pool] * ns, axis=0)
+    return jnp.concatenate([h, bcast], axis=1)
+
+
+class _Rec:
+    """Per-conv forward record on a tile: input h_in, pre-BN y,
+    post-activation o, and whether a poolcat directly precedes it."""
+
+    __slots__ = ("h_in", "y", "o", "after_poolcat")
+
+    def __init__(self, h_in, y, o, after_poolcat):
+        self.h_in, self.y, self.o = h_in, y, o
+        self.after_poolcat = after_poolcat
+
+
+def _run_plan(x_ref, plan: Plan, params, upto_conv: int, ns: int, ct: int
+              ) -> Tuple[Array, List[_Rec]]:
+    """Interpret the plan, applying folded convs, until `upto_conv`
+    convs are consumed (and every plan op before the next conv).
+    Returns (h at that point, per-conv records)."""
+    h = x_ref[...].reshape(ns * ct, x_ref.shape[-1])
+    recs: List[_Rec] = []
+    j = 0
+    after_pc = False
+    for op in plan:
+        if op[0] == "poolcat":
+            # applied even when it directly precedes the stopping conv:
+            # the caller needs conv upto_conv's true input
+            h = _poolcat_fwd(h, ns, ct)
+            after_pc = True
+            continue
+        if j == upto_conv:
+            break
+        w, b, a, c = params[j]
+        h_in = h
+        y = _mm(h, w[...]) + b[...]
+        z = y * a[...] + c[...]
+        h = jnp.maximum(z, 0.0) if op[1] else z
+        recs.append(_Rec(h_in, y, h, after_pc))
+        after_pc = False
+        j += 1
+    return h, recs
+
+
+def _n_convs(plan: Plan) -> int:
+    return sum(1 for op in plan if op[0] == "conv")
+
+
+def _plan_index_of_conv(plan: Plan, j: int) -> int:
+    c = 0
+    for i, op in enumerate(plan):
+        if op[0] == "conv":
+            if c == j:
+                return i
+            c += 1
+    raise ValueError(j)
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
 
-def _stats_kernel(x_ref, *refs, n_prev: int, ns: int, ct: int, g_total: int):
-    """Masked sum/sumsq of layer (n_prev+1)'s pre-BN output y."""
+def _stats_kernel(x_ref, *refs, plan: Plan, j: int, ns: int, ct: int,
+                  g_total: int):
+    """Masked sum/sumsq of conv j's pre-BN output y."""
     i = pl.program_id(0)
-    params = [tuple(refs[4 * l:4 * l + 4]) for l in range(n_prev)]
-    w_new, b_new = refs[4 * n_prev], refs[4 * n_prev + 1]
-    stats_ref = refs[4 * n_prev + 2]
+    params = [tuple(refs[4 * l:4 * l + 4]) for l in range(j)]
+    w_new, b_new = refs[4 * j], refs[4 * j + 1]
+    stats_ref = refs[4 * j + 2]
 
-    _, os_ = _prefix(x_ref, params, n_prev, ns, ct)
-    y = _mm(os_[-1], w_new[...]) + b_new[...]
+    h, _ = _run_plan(x_ref, plan, params, j, ns, ct)
+    y = _mm(h, w_new[...]) + b_new[...]
     ym = y * _row_mask(ns, ct, i, g_total)
     s = jnp.sum(ym, axis=0, keepdims=True)
     q = jnp.sum(ym * ym, axis=0, keepdims=True)
@@ -161,33 +240,39 @@ def _stats_kernel(x_ref, *refs, n_prev: int, ns: int, ct: int, g_total: int):
     _accum(stats_ref, i, upd)
 
 
-def _final_kernel(x_ref, *refs, n_layers: int, ns: int, ct: int):
-    """Full recompute + slot max-pool -> (ct, C_L) pooled tile."""
-    params = [tuple(refs[4 * l:4 * l + 4]) for l in range(n_layers)]
-    out_ref = refs[4 * n_layers]
-    _, os_ = _prefix(x_ref, params, n_layers, ns, ct)
-    pool, _ = _pool_and_ties(os_[-1], ns, ct)
+def _final_kernel(x_ref, *refs, plan: Plan, ns: int, ct: int):
+    """Full recompute + final slot max-pool -> (ct, C_top) tile."""
+    n = _n_convs(plan)
+    params = [tuple(refs[4 * l:4 * l + 4]) for l in range(n)]
+    out_ref = refs[4 * n]
+    h, _ = _run_plan(x_ref, plan, params, n, ns, ct)
+    pool, _ = _pool_and_ties(h, ns, ct)
     out_ref[...] = pool
 
 
-def _bwdstats_top_kernel(x_ref, *refs, n_layers: int, ns: int, ct: int):
-    """Pool-route dpooled to the top layer; accumulate (sum dz,
-    sum dz*xhat) of the top layer."""
+def _bwdstats_top_kernel(x_ref, *refs, plan: Plan, ns: int, ct: int):
+    """Route dpooled through the final pool ties; accumulate the top
+    conv's (sum dz, sum dz*xhat)."""
     i = pl.program_id(0)
-    params = [tuple(refs[4 * l:4 * l + 4]) for l in range(n_layers)]
-    k = 4 * n_layers
+    n = _n_convs(plan)
+    params = [tuple(refs[4 * l:4 * l + 4]) for l in range(n)]
+    k = 4 * n
     mu_ref, isig_ref, dpool_ref, out_ref = refs[k], refs[k + 1], \
         refs[k + 2], refs[k + 3]
 
-    ys, os_ = _prefix(x_ref, params, n_layers, ns, ct)
-    h = os_[-1]
-    w, b, a, c = params[-1]
-    xhat = (ys[-1] - mu_ref[0:1, :]) * isig_ref[0:1, :]
-    z = ys[-1] * a[...] + c[...]
+    h, recs = _run_plan(x_ref, plan, params, n, ns, ct)
+    top = recs[-1]
+    relu = plan[_plan_index_of_conv(plan, n - 1)][1]
+    xhat = (top.y - mu_ref[0:1, :]) * isig_ref[0:1, :]
 
     pool, cnt = _pool_and_ties(h, ns, ct)
     do = _route_pool(h, pool, cnt, dpool_ref[...], ns, ct)
-    dz = jnp.where(z > 0.0, do, 0.0)
+    if relu:
+        w, b, a, c = params[-1]
+        z = top.y * a[...] + c[...]
+        dz = jnp.where(z > 0.0, do, 0.0)
+    else:
+        dz = do
     s1 = jnp.sum(dz, axis=0, keepdims=True)
     s2 = jnp.sum(dz * xhat, axis=0, keepdims=True)
     upd = jnp.concatenate(
@@ -195,75 +280,104 @@ def _bwdstats_top_kernel(x_ref, *refs, n_layers: int, ns: int, ct: int):
     _accum(out_ref, i, upd)
 
 
-def _bwd_kernel(x_ref, *refs, ell: int, ns: int, ct: int, top: bool,
-                cin: int, g_total: int, cot_dtype=jnp.bfloat16):
-    """Backward apply pass for layer `ell` (1-indexed).
+def _bwd_kernel(x_ref, *refs, plan: Plan, j: int, ns: int, ct: int,
+                g_total: int, cin: int, cot_dtype=jnp.bfloat16):
+    """Backward apply pass for conv j (0-indexed; top = n_convs-1).
 
     Input refs, in order:
-      folded params (w, b, a, c) for layers 1..ell;
-      mu_ell, isig_ell (1, C_ell);
-      the cotangent source: dpooled (ct, C) block if top, else the
-      saved bf16 do_ell (ns, ct, C_ell) block;
-      bncoef_ell (8, C_ell): rows 0/1/2 = m1, m2, gamma/sigma;
-      if ell > 1: mu_{ell-1}, isig_{ell-1}.
+      folded params (w, b, a, c) for convs 0..j;
+      mu_j, isig_j (1, C_j);
+      the cotangent source: the dpooled (ct, C_j) block if j is top,
+      else the streamed bf16 do_j (ns, ct, C_j) block;
+      bncoef_j (8, C_j): rows 0/1/2 = m1, m2, gamma/sigma;
+      if j > 0: mu_{j-1}, isig_{j-1}.
     Output refs:
-      dW_ell (C_{ell-1}, C_ell) accumulated; db_ell (8, C_ell) row 0;
-      if ell > 1: do_{ell-1} bf16 (ns, ct, C_{ell-1}) block +
-      bwdstats_{ell-1} (8, C_{ell-1}) accumulated;
-      else: dx (ns*8, ct) block, rows s*8+c = dx[slot s, :, coord c].
+      dW_j (C_in_j, C_j) grid-accumulated; db_j (8, C_j) row 0;
+      if j > 0: do_{j-1} bf16 (ns, ct, C_{j-1}) block (poolcat between
+      j-1 and j already backpropagated) + bwdstats_{j-1} (8, C_{j-1})
+      accumulated; else: dx (ns*8, ct) block, rows s*8+c.
     """
     i = pl.program_id(0)
-    params = [tuple(refs[4 * l:4 * l + 4]) for l in range(ell)]
-    k = 4 * ell
+    n = _n_convs(plan)
+    params = [tuple(refs[4 * l:4 * l + 4]) for l in range(j + 1)]
+    k = 4 * (j + 1)
     mu_ref, isig_ref = refs[k], refs[k + 1]
     src_ref = refs[k + 2]
     bncoef_ref = refs[k + 3]
     k += 4
-    if ell > 1:
+    if j > 0:
         mu_p_ref, isig_p_ref = refs[k], refs[k + 1]
         k += 2
     dw_ref, db_ref = refs[k], refs[k + 1]
     k += 2
 
-    ys, os_ = _prefix(x_ref, params, ell, ns, ct)
-    w_l, b_l, a_l, c_l = params[-1]
-    y_l = ys[-1]
-    xhat = (y_l - mu_ref[0:1, :]) * isig_ref[0:1, :]
-    z = y_l * a_l[...] + c_l[...]
+    top = j == n - 1
+    pidx = _plan_index_of_conv(plan, j)
+    relu = plan[pidx][1]
+
+    h, recs = _run_plan(x_ref, plan, params, j + 1, ns, ct)
+    rec = recs[-1]
+    xhat = (rec.y - mu_ref[0:1, :]) * isig_ref[0:1, :]
+    w_j, b_j, a_j, c_j = params[-1]
 
     if top:
-        h = os_[-1]
         pool, cnt = _pool_and_ties(h, ns, ct)
         do = _route_pool(h, pool, cnt, src_ref[...], ns, ct)
     else:
-        do = src_ref[...].reshape(ns * ct, z.shape[-1]).astype(jnp.float32)
+        do = src_ref[...].reshape(ns * ct, rec.y.shape[-1]).astype(
+            jnp.float32)
 
+    if relu:
+        z = rec.y * a_j[...] + c_j[...]
+        dz = jnp.where(z > 0.0, do, 0.0)
+    else:
+        dz = do
     m1 = bncoef_ref[0:1, :]
     m2 = bncoef_ref[1:2, :]
     ga_sig = bncoef_ref[2:3, :]
-    dz = jnp.where(z > 0.0, do, 0.0)
     # mask PAD clusters: their dz is zero (zero dpool / zero propagated
     # cotangent) but the global BN-backward correction terms -m1 -xhat*m2
     # are not — without the mask pads would contaminate dW/db/dx
     dy = ga_sig * (dz - m1 - xhat * m2) * _row_mask(ns, ct, i, g_total)
 
-    dw_upd = _mm_tn(os_[-2], dy)
-    db_row = jnp.sum(dy, axis=0, keepdims=True)
+    dw_upd = _mm_tn(rec.h_in, dy)
     db_upd = jnp.concatenate(
-        [db_row, jnp.zeros((7, dy.shape[-1]), jnp.float32)], axis=0)
+        [jnp.sum(dy, axis=0, keepdims=True),
+         jnp.zeros((7, dy.shape[-1]), jnp.float32)], axis=0)
     _accum(dw_ref, i, dw_upd)
     _accum(db_ref, i, db_upd)
 
-    if ell > 1:
+    if j > 0:
         do_out_ref, bst_ref = refs[k], refs[k + 1]
-        do_prev = _mm_nt(dy, w_l[...])                   # (ns*ct, C_{l-1})
+        dcat = _mm_nt(dy, w_j[...])                 # (ns*ct, C_in_j)
+        prev = recs[-2]
+        if rec.after_poolcat:
+            # conv j's input was concat([o_{j-1}, bcast(slotmax)]):
+            # split lanes, reduce the broadcast branch over slots,
+            # route it through the poolcat ties, add the direct branch
+            cprev = prev.o.shape[-1]
+            d_direct = dcat[:, :cprev]
+            d_bcast = dcat[:, cprev:]
+            dpool2 = d_bcast[0:ct, :]
+            for s in range(1, ns):
+                dpool2 = dpool2 + d_bcast[s * ct:(s + 1) * ct, :]
+            pool2, cnt2 = _pool_and_ties(prev.o, ns, ct)
+            do_prev = d_direct + _route_pool(prev.o, pool2, cnt2, dpool2,
+                                             ns, ct)
+        else:
+            do_prev = dcat
         do_prev_bf = do_prev.astype(cot_dtype)
         do_out_ref[...] = do_prev_bf.reshape(ns, ct, do_prev.shape[-1])
 
-        w_p, b_p, a_p, c_p = params[-2]
-        xhat_p = (ys[-2] - mu_p_ref[0:1, :]) * isig_p_ref[0:1, :]
-        z_p = ys[-2] * a_p[...] + c_p[...]
-        dz_p = jnp.where(z_p > 0.0, do_prev_bf.astype(jnp.float32), 0.0)
+        relu_p = plan[_plan_index_of_conv(plan, j - 1)][1]
+        xhat_p = (prev.y - mu_p_ref[0:1, :]) * isig_p_ref[0:1, :]
+        dop = do_prev_bf.astype(jnp.float32)
+        if relu_p:
+            w_p, b_p, a_p, c_p = params[-2]
+            z_p = prev.y * a_p[...] + c_p[...]
+            dz_p = jnp.where(z_p > 0.0, dop, 0.0)
+        else:
+            dz_p = dop
         s1 = jnp.sum(dz_p, axis=0, keepdims=True)
         s2 = jnp.sum(dz_p * xhat_p, axis=0, keepdims=True)
         upd = jnp.concatenate(
@@ -271,12 +385,12 @@ def _bwd_kernel(x_ref, *refs, ell: int, ns: int, ct: int, top: bool,
         _accum(bst_ref, i, upd)
     else:
         dx_ref = refs[k]
-        # dx^T = W_1 @ dy^T, lane-dense (C_in, ns*ct)
+        # dx^T = W_0 @ dy^T, lane-dense (C_in, ns*ct)
         dxt = jax.lax.dot_general(
-            w_l[...], dy, (((1,), (1,)), ((), ())),
+            w_j[...], dy, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         for s in range(ns):
-            blk = dxt[:, s * ct:(s + 1) * ct]            # (C_in, ct)
+            blk = dxt[:, s * ct:(s + 1) * ct]        # (C_in, ct)
             blk8 = jnp.concatenate(
                 [blk, jnp.zeros((8 - cin, ct), jnp.float32)], axis=0)
             dx_ref[s * 8:(s + 1) * 8, :] = blk8
@@ -287,11 +401,16 @@ def _bwd_kernel(x_ref, *refs, ell: int, ns: int, ct: int, top: bool,
 # ---------------------------------------------------------------------------
 
 
-def _finalize_stats(stats: Array, count: float, gamma: Array, beta: Array,
-                    eps: float):
+def _finalize_stats(stats: Array, count, gamma: Array, beta: Array,
+                    eps: float, axis_name: Optional[str]):
     """(8, C) sum/sumsq -> (mean, var, a, c, inv_sigma); z = y*a + c
-    (y already includes the conv bias)."""
+    (y already includes the conv bias). With axis_name, moments are
+    GLOBAL across the data-parallel axis (flax cross-replica BN)."""
     s, q = stats[0], stats[1]
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        q = jax.lax.psum(q, axis_name)
+        count = count * jax.lax.psum(1.0, axis_name)
     mean = s / count
     var = jnp.maximum(q / count - mean * mean, 0.0)
     inv_sigma = jax.lax.rsqrt(var + eps)
@@ -313,12 +432,10 @@ def _folded_ops(flat_params, folded, upto):
     return ops
 
 
-@partial(jax.jit, static_argnames=("widths", "ns", "g_total", "eps", "ct",
-                                   "interpret"))
-def _fwd_impl(x_sm: Array, flat_params: Tuple[Array, ...],
+def _fwd_impl(x_sm: Array, flat_params: Tuple[Array, ...], plan: Plan,
               widths: Tuple[int, ...], ns: int, g_total: int, eps: float,
-              ct: int, interpret: bool):
-    n_layers = len(widths)
+              ct: int, interpret: bool, axis_name: Optional[str]):
+    n = _n_convs(plan)
     gp = x_sm.shape[1]
     tiles = gp // ct
     cin = x_sm.shape[2]
@@ -330,28 +447,30 @@ def _fwd_impl(x_sm: Array, flat_params: Tuple[Array, ...],
     cp = pltpu.CompilerParams(vmem_limit_bytes=_VMEM)
 
     folded, means, vars_, isigs = [], [], [], []
-    for l in range(n_layers):
-        w, b, g, be = flat_params[4 * l:4 * l + 4]
-        prev_ops = _folded_ops(flat_params, folded, l)
+    for j in range(n):
+        w, b, g, be = flat_params[4 * j:4 * j + 4]
+        prev_ops = _folded_ops(flat_params, folded, j)
         stats = pl.pallas_call(
-            partial(_stats_kernel, n_prev=l, ns=ns, ct=ct, g_total=g_total),
+            partial(_stats_kernel, plan=plan, j=j, ns=ns, ct=ct,
+                    g_total=g_total),
             grid=grid,
             in_specs=[x_spec] + [vm] * (len(prev_ops) + 2),
-            out_specs=pl.BlockSpec((8, widths[l]), lambda i: (0, 0),
+            out_specs=pl.BlockSpec((8, widths[j]), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, widths[l]), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((8, widths[j]), jnp.float32),
             compiler_params=cp,
             interpret=interpret,
         )(x_sm, *prev_ops, w, _row(b))
-        mean, var, a, c, isig = _finalize_stats(stats, count, g, be, eps)
+        mean, var, a, c, isig = _finalize_stats(stats, count, g, be, eps,
+                                                axis_name)
         means.append(mean)
         vars_.append(var)
         isigs.append(isig)
         folded.append((a, c))
 
-    all_ops = _folded_ops(flat_params, folded, n_layers)
+    all_ops = _folded_ops(flat_params, folded, n)
     pooled = pl.pallas_call(
-        partial(_final_kernel, n_layers=n_layers, ns=ns, ct=ct),
+        partial(_final_kernel, plan=plan, ns=ns, ct=ct),
         grid=grid,
         in_specs=[x_spec] + [vm] * len(all_ops),
         out_specs=pl.BlockSpec((ct, widths[-1]), lambda i: (i, 0),
@@ -363,28 +482,30 @@ def _fwd_impl(x_sm: Array, flat_params: Tuple[Array, ...],
     return pooled, means, vars_, folded, isigs
 
 
-@partial(jax.jit, static_argnames=("widths", "ns", "g_total", "eps", "ct",
-                                   "interpret", "cot_dtype"))
-def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs,
+def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs, plan: Plan,
               widths: Tuple[int, ...], ns: int, g_total: int, eps: float,
-              ct: int, interpret: bool, cot_dtype=jnp.bfloat16):
-    n_layers = len(widths)
+              ct: int, interpret: bool, axis_name: Optional[str],
+              cot_dtype=jnp.bfloat16):
+    n = _n_convs(plan)
     gp = x_sm.shape[1]
     tiles = gp // ct
     cin = x_sm.shape[2]
     count = float(ns * g_total)
+    if axis_name is not None:
+        count = count * jax.lax.psum(1.0, axis_name)
     grid = (tiles,)
     x_spec = pl.BlockSpec((ns, ct, cin), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     cp = pltpu.CompilerParams(vmem_limit_bytes=_VMEM)
-    top = n_layers - 1
+    conv_io = plan_conv_widths(plan, widths, cin)
+    top = n - 1
 
     dpool_spec = pl.BlockSpec((ct, widths[top]), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
-    all_ops = _folded_ops(flat_params, folded, n_layers)
+    all_ops = _folded_ops(flat_params, folded, n)
     bst = pl.pallas_call(
-        partial(_bwdstats_top_kernel, n_layers=n_layers, ns=ns, ct=ct),
+        partial(_bwdstats_top_kernel, plan=plan, ns=ns, ct=ct),
         grid=grid,
         in_specs=[x_spec] + [vm] * (len(all_ops) + 2) + [dpool_spec],
         out_specs=pl.BlockSpec((8, widths[top]), lambda i: (0, 0),
@@ -394,39 +515,42 @@ def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs,
         interpret=interpret,
     )(x_sm, *all_ops, _row(means[top]), _row(isigs[top]), dpooled)
 
-    dparams = [None] * n_layers
+    dparams = [None] * n
     do_src, do_spec = dpooled, dpool_spec
     dx_sm = None
-    for l in range(n_layers - 1, -1, -1):
-        w, b, g, be = flat_params[4 * l:4 * l + 4]
+    for j in range(n - 1, -1, -1):
+        w, b, g, be = flat_params[4 * j:4 * j + 4]
+        if axis_name is not None:
+            bst = jax.lax.psum(bst, axis_name)
         m1 = bst[0] / count
         m2 = bst[1] / count
         bncoef = jnp.concatenate(
-            [_row(m1), _row(m2), _row(g * isigs[l]),
-             jnp.zeros((5, widths[l]), jnp.float32)], axis=0)
+            [_row(m1), _row(m2), _row(g * isigs[j]),
+             jnp.zeros((5, widths[j]), jnp.float32)], axis=0)
 
-        ops = [x_sm] + _folded_ops(flat_params, folded, l + 1) + [
-            _row(means[l]), _row(isigs[l]), do_src, bncoef]
-        in_specs = [x_spec] + [vm] * (4 * (l + 1) + 2) + [do_spec, vm]
-        if l > 0:
-            ops += [_row(means[l - 1]), _row(isigs[l - 1])]
+        ops = [x_sm] + _folded_ops(flat_params, folded, j + 1) + [
+            _row(means[j]), _row(isigs[j]), do_src, bncoef]
+        in_specs = [x_spec] + [vm] * (4 * (j + 1) + 2) + [do_spec, vm]
+        if j > 0:
+            ops += [_row(means[j - 1]), _row(isigs[j - 1])]
             in_specs += [vm, vm]
 
-        c_prev = widths[l - 1] if l > 0 else cin
-        out_shapes = [jax.ShapeDtypeStruct((c_prev, widths[l]), jnp.float32),
-                      jax.ShapeDtypeStruct((8, widths[l]), jnp.float32)]
-        out_specs = [pl.BlockSpec((c_prev, widths[l]), lambda i: (0, 0),
+        c_in = conv_io[j][0]
+        out_shapes = [jax.ShapeDtypeStruct((c_in, widths[j]), jnp.float32),
+                      jax.ShapeDtypeStruct((8, widths[j]), jnp.float32)]
+        out_specs = [pl.BlockSpec((c_in, widths[j]), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM),
-                     pl.BlockSpec((8, widths[l]), lambda i: (0, 0),
+                     pl.BlockSpec((8, widths[j]), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)]
-        if l > 0:
+        if j > 0:
+            cl = widths[j - 1]
             out_shapes += [
-                jax.ShapeDtypeStruct((ns, gp, widths[l - 1]), cot_dtype),
-                jax.ShapeDtypeStruct((8, widths[l - 1]), jnp.float32)]
+                jax.ShapeDtypeStruct((ns, gp, cl), cot_dtype),
+                jax.ShapeDtypeStruct((8, cl), jnp.float32)]
             out_specs += [
-                pl.BlockSpec((ns, ct, widths[l - 1]), lambda i: (0, i, 0),
+                pl.BlockSpec((ns, ct, cl), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, widths[l - 1]), lambda i: (0, 0),
+                pl.BlockSpec((8, cl), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)]
         else:
             out_shapes.append(jax.ShapeDtypeStruct((ns * 8, gp),
@@ -435,9 +559,8 @@ def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs,
                                           memory_space=pltpu.VMEM))
 
         outs = pl.pallas_call(
-            partial(_bwd_kernel, ell=l + 1, ns=ns, ct=ct,
-                    top=l == n_layers - 1, cin=cin, g_total=g_total,
-                    cot_dtype=cot_dtype),
+            partial(_bwd_kernel, plan=plan, j=j, ns=ns, ct=ct,
+                    g_total=g_total, cin=cin, cot_dtype=cot_dtype),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -445,20 +568,25 @@ def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs,
             compiler_params=cp,
             interpret=interpret,
         )(*ops)
+        dw, db8 = outs[0], outs[1]
+        if axis_name is not None:
+            dw = jax.lax.psum(dw, axis_name)
+            db8 = jax.lax.psum(db8, axis_name)
+            # dgamma/dbeta come from bst, already psum'd above
         # dgamma = sum dz*xhat, dbeta = sum dz — free from the reductions
-        dparams[l] = (outs[0], outs[1][0], bst[1], bst[0])
-        if l > 0:
+        dparams[j] = (dw, db8[0], bst[1], bst[0])
+        if j > 0:
             do_src, bst = outs[2], outs[3]
-            cl = widths[l - 1]
+            cl = widths[j - 1]
             do_spec = pl.BlockSpec((ns, ct, cl), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM)
         else:
-            dx_t = outs[2]                                # (ns*8, gp)
+            dx_t = outs[2]                            # (ns*8, gp)
             dx_sm = dx_t.reshape(ns, 8, gp)[:, :cin, :].transpose(0, 2, 1)
 
     dflat = []
-    for l in range(n_layers):
-        dflat += list(dparams[l])
+    for j in range(n):
+        dflat += list(dparams[j])
     return dx_sm, tuple(dflat)
 
 
@@ -467,63 +595,97 @@ def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
-def convbn_maxpool_fused(x_sm: Array, flat_params: Tuple[Array, ...],
-                         widths: Tuple[int, ...], ns: int, g_total: int,
-                         eps: float = 1e-3, ct: int = 128,
-                         interpret: bool = False,
-                         cot_dtype=jnp.bfloat16):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def tower_prepool_fused(x_sm: Array, flat_params: Tuple[Array, ...],
+                        plan: Plan, widths: Tuple[int, ...], ns: int,
+                        g_total: int, eps: float = 1e-3, ct: int = 128,
+                        interpret: bool = False, axis_name=None,
+                        cot_dtype=jnp.bfloat16):
     """Fused training-mode ConvBN tower + slot max-pool.
 
     x_sm: (ns, Gp, C_in) slot-major grouped offsets, Gp % ct == 0
-    (pad clusters masked out of every statistic; their pooled rows are
-    garbage — slice to g_total).
-    flat_params: per layer (W (Cin,Cout), b, gamma, beta), flat tuple.
+    (pad clusters are masked out of every statistic; their pooled rows
+    are garbage — slice to g_total).
+    flat_params: per conv (W (Cin,Cout), b, gamma, beta), flat tuple in
+    plan order. plan: see detector_plan / descriptor_plan.
+    axis_name: data-parallel mesh axis for GLOBAL batch moments (flax
+    cross-replica BN parity) — both forward moments and the backward
+    reductions are psum'd.
 
-    Returns (pooled (Gp, C_L), (batch_means, batch_vars) per layer for
+    Returns (pooled (Gp, C_top), (batch_means, batch_vars) per conv for
     the EMA batch_stats update). The loss differentiates through the
     batch moments (flax BatchNorm training semantics); the stats outputs
     themselves are non-differentiable (EMA updates are stop-grad).
     """
     pooled, means, vars_, _, _ = _fwd_impl(
-        x_sm, flat_params, widths, ns, g_total, eps, ct, interpret)
+        x_sm, flat_params, plan, widths, ns, g_total, eps, ct, interpret,
+        axis_name)
     return pooled, (tuple(means), tuple(vars_))
 
 
-def _vjp_fwd(x_sm, flat_params, widths, ns, g_total, eps, ct, interpret,
-             cot_dtype):
+def _vjp_fwd(x_sm, flat_params, plan, widths, ns, g_total, eps, ct,
+             interpret, axis_name, cot_dtype):
     pooled, means, vars_, folded, isigs = _fwd_impl(
-        x_sm, flat_params, widths, ns, g_total, eps, ct, interpret)
+        x_sm, flat_params, plan, widths, ns, g_total, eps, ct, interpret,
+        axis_name)
     res = (x_sm, flat_params, tuple(means), tuple(folded), tuple(isigs))
     return (pooled, (tuple(means), tuple(vars_))), res
 
 
-def _vjp_bwd(widths, ns, g_total, eps, ct, interpret, cot_dtype, res,
-             cts):
+def _vjp_bwd(plan, widths, ns, g_total, eps, ct, interpret, axis_name,
+             cot_dtype, res, cts):
     x_sm, flat_params, means, folded, isigs = res
     dpooled, _ = cts
     dx_sm, dflat = _bwd_impl(
         x_sm, flat_params, dpooled, list(means), list(folded), list(isigs),
-        widths, ns, g_total, eps, ct, interpret, cot_dtype)
+        plan, widths, ns, g_total, eps, ct, interpret, axis_name, cot_dtype)
     return dx_sm, dflat
 
 
-convbn_maxpool_fused.defvjp(_vjp_fwd, _vjp_bwd)
+tower_prepool_fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def reference_convbn_maxpool(x_sm: Array, flat_params, widths, ns: int,
-                             g_total: int, eps: float = 1e-3):
-    """Pure-jnp reference (flax-equivalent math) for tests: slot-major
-    (ns, G, C_in) -> (pooled (G, C_L), (means, vars))."""
+def convbn_maxpool_fused(x_sm: Array, flat_params: Tuple[Array, ...],
+                         widths: Tuple[int, ...], ns: int, g_total: int,
+                         eps: float = 1e-3, ct: int = 128,
+                         interpret: bool = False, cot_dtype=jnp.bfloat16):
+    """Plain relu-ConvBN chain + pool (the detector pre-pool segment)."""
+    return tower_prepool_fused(x_sm, flat_params, detector_plan(len(widths)),
+                               widths, ns, g_total, eps, ct, interpret,
+                               None, cot_dtype)
+
+
+# ---------------------------------------------------------------------------
+# test reference
+# ---------------------------------------------------------------------------
+
+
+def reference_tower(x_sm: Array, flat_params, plan: Plan, widths, ns: int,
+                    g_total: int, eps: float = 1e-3):
+    """Pure-jnp reference (flax-equivalent math): slot-major (ns, G, C_in)
+    -> (pooled (G, C_top), (means, vars))."""
     h = x_sm[:, :g_total, :]
-    means, vars_ = [], []
-    for l in range(len(widths)):
-        w, b, g, be = flat_params[4 * l:4 * l + 4]
+    means, vars_, j = [], [], 0
+    for op in plan:
+        if op[0] == "poolcat":
+            pooled = jnp.max(h, axis=0, keepdims=True)
+            h = jnp.concatenate(
+                [h, jnp.broadcast_to(pooled, h.shape)], axis=-1)
+            continue
+        w, b, g, be = flat_params[4 * j:4 * j + 4]
         y = jnp.einsum("sgc,cd->sgd", h, w) + b
         mean = jnp.mean(y, axis=(0, 1))
         var = jnp.mean(jnp.square(y), axis=(0, 1)) - jnp.square(mean)
         xhat = (y - mean) * jax.lax.rsqrt(var + eps)
-        h = jax.nn.relu(g * xhat + be)
+        z = g * xhat + be
+        h = jax.nn.relu(z) if op[1] else z
         means.append(mean)
         vars_.append(var)
+        j += 1
     return jnp.max(h, axis=0), (tuple(means), tuple(vars_))
+
+
+def reference_convbn_maxpool(x_sm: Array, flat_params, widths, ns: int,
+                             g_total: int, eps: float = 1e-3):
+    return reference_tower(x_sm, flat_params, detector_plan(len(widths)),
+                           widths, ns, g_total, eps)
