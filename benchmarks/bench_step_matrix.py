@@ -33,17 +33,20 @@ def main():
     orig = bg.use_fused_ball_query
 
     remat_only = "--remat-only" in sys.argv
-    # (label, fused_bq, trainer_full_remat, model_remat_towers, resid16)
-    variants = ([("dense", False, False, False, False),
-                 ("dense+remat", False, True, False, False),
-                 ("dense+rtowers", False, False, True, False),
-                 ("dense+resid16", False, False, False, True)]
+    # (label, fused_bq, trainer_full_remat, model_remat_towers, resid16,
+    #  fused_towers)
+    variants = ([("dense", False, False, False, False, False),
+                 ("dense+remat", False, True, False, False, False),
+                 ("dense+rtowers", False, False, True, False, False),
+                 ("dense+resid16", False, False, False, True, False)]
                 if remat_only else
-                [("fused", True, False, False, False),
-                 ("dense", False, False, False, False),
-                 ("dense+remat", False, True, False, False),
-                 ("dense+rtowers", False, False, True, False),
-                 ("dense+resid16", False, False, False, True)])
+                [("fused", True, False, False, False, False),
+                 ("dense", False, False, False, False, False),
+                 ("dense+remat", False, True, False, False, False),
+                 ("dense+rtowers", False, False, True, False, False),
+                 ("dense+resid16", False, False, False, True, False),
+                 ("dense+ftowers", False, False, False, False, True),
+                 ("fused+ftowers", True, False, False, False, True)])
 
     # per-CALL tunnel RTT baseline, subtracted from every chained timing
     # (at K=16 the raw numbers would carry ~2 ms/step of dispatch)
@@ -65,9 +68,12 @@ def main():
         model = Feat3DNet(cfg)
         state, tx = init_state(model, tcfg, cfg, jax.random.PRNGKey(0))
 
-        for label, enabled, remat, rtowers, resid16 in variants:
+        for label, enabled, remat, rtowers, resid16, ftowers in variants:
+            if ftowers and dtype is not jnp.float32:
+                continue   # the fused tower kernels are f32-training-only
             mcfg = ModelConfig(compute_dtype=dtype, remat_towers=rtowers,
-                               residual_dtype=jnp.bfloat16 if resid16 else None)
+                               residual_dtype=jnp.bfloat16 if resid16 else None,
+                               fused_towers=ftowers)
             step = make_fused_train_step(Feat3DNet(mcfg), tx, cfg.margin,
                                          cfg.attention, remat=remat)
             # force the kernel past its opt-in env gate for the A/B (the

@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "BN statistics stay in --compute_dtype) — halves "
                         "saved-residual HBM traffic without matmul "
                         "recompute; NOT bit-exact (see BENCHMARKS.md)")
+    p.add_argument("--fused_towers", action="store_true",
+                   help="run the training towers' pre-pool segments through "
+                        "the fused Pallas fwd+bwd kernels (ops/fused_train) "
+                        "instead of the default XLA towers — f32 training "
+                        "only; same checkpoint tree; gradients agree in "
+                        "direction, not bitwise (see BENCHMARKS.md)")
     return p
 
 
@@ -124,7 +130,8 @@ def main(argv=None):
         margin=args.margin,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
         remat_towers=args.remat_towers,
-        residual_dtype=jnp.bfloat16 if args.residual_dtype == "bfloat16" else None)
+        residual_dtype=jnp.bfloat16 if args.residual_dtype == "bfloat16" else None,
+        fused_towers=args.fused_towers)
     tcfg = TrainConfig(
         batch_size=args.batch_size, num_points=args.num_points,
         learning_rate=args.learning_rate, num_epochs=args.num_epochs,
@@ -133,7 +140,10 @@ def main(argv=None):
         seed=args.seed)
 
     model_cls = get_network(args.model)
-    model = model_cls(mcfg)
+    # fused_towers + DP runs the tower kernels inside shard_map, so the
+    # model must reduce its BN moments over the mesh axis itself
+    dp_shardmap = args.fused_towers and args.num_devices > 1
+    model = model_cls(mcfg, bn_axis_name="data") if dp_shardmap else model_cls(mcfg)
     tx = make_optimizer(tcfg.learning_rate, tcfg.freeze_scopes)
     state, _ = init_state(model, tcfg, mcfg, jax.random.PRNGKey(args.seed), tx=tx)
 
@@ -174,17 +184,23 @@ def main(argv=None):
         mesh = make_mesh(args.num_devices)
         repl = NamedSharding(mesh, PartitionSpec())
         if spd > 1:
-            from feat3dnet_tpu.parallel import make_chained_dp_train_step
+            from feat3dnet_tpu.parallel import (
+                make_chained_dp_train_step, make_chained_shardmap_dp_train_step)
 
-            step_fn = make_chained_dp_train_step(
+            build_dp = (make_chained_shardmap_dp_train_step if dp_shardmap
+                        else make_chained_dp_train_step)
+            step_fn = build_dp(
                 model, tx, mcfg.margin, mcfg.attention, mesh,
                 augmentations=aug_names or None, aug_seed=args.seed + 1,
                 quantized=quant)
             sh = NamedSharding(mesh, PartitionSpec(None, "data"))
         else:
-            from feat3dnet_tpu.parallel import make_fused_dp_train_step
+            from feat3dnet_tpu.parallel import (
+                make_fused_dp_train_step, make_shardmap_fused_dp_train_step)
 
-            step_fn = make_fused_dp_train_step(
+            build_dp = (make_shardmap_fused_dp_train_step if dp_shardmap
+                        else make_fused_dp_train_step)
+            step_fn = build_dp(
                 model, tx, mcfg.margin, mcfg.attention, mesh,
                 augmentations=aug_names or None, aug_seed=args.seed + 1,
                 quantized=quant)

@@ -18,6 +18,8 @@ from feat3dnet_tpu.parallel.mesh import make_mesh, data_sharding, replicated_sha
 from feat3dnet_tpu.parallel.data_parallel import (make_chained_dp_train_step,
                                                   make_dp_train_step,
                                                   make_fused_dp_train_step,
+                                                  make_shardmap_fused_dp_train_step,
+                                                  make_chained_shardmap_dp_train_step,
                                                   shard_batch)
 from feat3dnet_tpu.parallel.point_parallel import (keypoint_sharded_attention,
                                                    make_sharded_extract)
@@ -25,6 +27,7 @@ from feat3dnet_tpu.parallel.point_parallel import (keypoint_sharded_attention,
 __all__ = [
     "make_mesh", "data_sharding", "replicated_sharding",
     "make_dp_train_step", "make_fused_dp_train_step",
-    "make_chained_dp_train_step", "shard_batch",
+    "make_chained_dp_train_step", "make_shardmap_fused_dp_train_step",
+    "make_chained_shardmap_dp_train_step", "shard_batch",
     "keypoint_sharded_attention", "make_sharded_extract",
 ]

@@ -151,14 +151,29 @@ def make_train_step(
         # feat3dnet.py:346)
         from feat3dnet_tpu.utils.metrics_writer import device_histogram
 
+        det_cnt = aux["det_cnt"]
+        norm_att = aux.get("normalized_attention")
+        sum_p = jnp.mean(aux["sum_positive"])
+        sum_n = jnp.mean(aux["sum_negative"])
+        if grad_reduce_axis is not None:
+            # shard_map DP: histogram bins are data-dependent (min/max of
+            # the batch), so gather the full batch's values first — the
+            # metrics then equal the single-device step's exactly
+            det_cnt = jax.lax.all_gather(det_cnt, grad_reduce_axis,
+                                         axis=0, tiled=True)
+            if norm_att is not None:
+                norm_att = jax.lax.all_gather(norm_att, grad_reduce_axis,
+                                              axis=0, tiled=True)
+            sum_p = jax.lax.pmean(sum_p, grad_reduce_axis)
+            sum_n = jax.lax.pmean(sum_n, grad_reduce_axis)
         metrics = {"loss": loss,
-                   "sum_positive": jnp.mean(aux["sum_positive"]),
-                   "sum_negative": jnp.mean(aux["sum_negative"]),
+                   "sum_positive": sum_p,
+                   "sum_negative": sum_n,
                    "hist_det_cnt": device_histogram(
-                       aux["det_cnt"].astype(jnp.float32))}
-        if "normalized_attention" in aux:
+                       det_cnt.astype(jnp.float32))}
+        if norm_att is not None:
             metrics["hist_normalized_attention"] = device_histogram(
-                aux["normalized_attention"])
+                norm_att)
         return new_state, metrics
 
     step._train_core = _train_core

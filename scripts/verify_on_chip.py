@@ -18,6 +18,8 @@ XLA/dense reference:
                  lane-packed == unpacked (bit-exact),
                  slot-major flat-2D (the default path) == rank-3 (bit-exact),
                  bf16_act cosine >= 0.999
+  * fused_towers: fused Pallas ConvBN fwd+bwd train step vs the XLA-towers
+                  step on real oxford crops (loss/update-cosine/batch_stats)
   * compile-time ceilings: each phase runs under an alarm — a kernel that
     stops compiling in bounded time is itself a regression (the Mosaic
     unroll trap compiles for 40+ min on shape-independent IR blowups).
@@ -332,6 +334,69 @@ def phase_serving():
     }
 
 
+def phase_fused_towers():
+    """cfg.fused_towers on the REAL chip: the ops/fused_train multi-pass
+    fwd+bwd kernels have Mosaic-only failure modes interpret tests cannot
+    catch. Full train step vs the XLA-towers step on real oxford crops:
+    loss close, Adam update direction aligned, batch_stats close. Also
+    records warm per-step seconds for both (informational A/B — same
+    process, interleaved)."""
+    from feat3dnet_tpu.config import ModelConfig, TrainConfig
+    from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.train.trainer import init_state, make_train_step
+    from feat3dnet_tpu.utils.profiling import timed_device_call
+
+    cloud = load_oxford()
+
+    def crop(seed):
+        r = np.random.RandomState(seed)
+        idx = r.choice(cloud.shape[0], 4096, replace=False)
+        return cloud[idx, :3]
+
+    b = 2
+    rng = np.random.RandomState(0)
+    anchors = np.stack([crop(i) for i in range(b)])
+    positives = anchors + 0.02 * rng.randn(*anchors.shape).astype(np.float32)
+    negatives = np.stack([crop(100 + i) for i in range(b)])
+    a, p, n = map(jnp.asarray, (anchors, positives, negatives))
+
+    cfg0 = ModelConfig()
+    cfg1 = ModelConfig(fused_towers=True)
+    tcfg = TrainConfig(batch_size=b, num_points=4096)
+    m0, m1 = Feat3DNet(cfg0), Feat3DNet(cfg1)
+    state, tx = init_state(m0, tcfg, cfg0, jax.random.PRNGKey(0))
+
+    step0 = jax.jit(make_train_step(m0, tx, cfg0.margin, cfg0.attention))
+    step1 = jax.jit(make_train_step(m1, tx, cfg1.margin, cfg1.attention))
+    s0, met0 = step0(state, a, p, n)
+    s1, met1 = step1(state, a, p, n)
+    l0, l1 = float(met0["loss"]), float(met1["loss"])
+
+    def flat_updates(s):
+        return np.concatenate([
+            np.asarray(x - y).ravel()
+            for x, y in zip(jax.tree.leaves(s.params),
+                            jax.tree.leaves(state.params))])
+
+    u0, u1 = flat_updates(s0), flat_updates(s1)
+    up_cos = float((u0 * u1).sum()
+                   / max(np.linalg.norm(u0) * np.linalg.norm(u1), 1e-12))
+    bs_maxdiff = max(
+        float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+        for x, y in zip(jax.tree.leaves(s0.batch_stats),
+                        jax.tree.leaves(s1.batch_stats)))
+    t_xla = timed_device_call(step0, state, a, p, n, repeats=5)
+    t_fused = timed_device_call(step1, state, a, p, n, repeats=5)
+    return {
+        "ok_loss": np.isfinite(l1) and abs(l1 - l0) <= 1e-3 * max(abs(l0), 1e-3),
+        "ok_update_cos": up_cos >= 0.99,
+        "ok_batch_stats": bs_maxdiff <= 1e-4,
+        "loss_xla": l0, "loss_fused": l1,
+        "update_cos": up_cos, "bs_maxdiff": bs_maxdiff,
+        "step_s_xla": round(t_xla, 4), "step_s_fused": round(t_fused, 4),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
@@ -352,6 +417,7 @@ def main():
     run_phase(results, "merge_drivers", phase_merge_drivers)
     run_phase(results, "submap_scale", phase_submap_scale)
     run_phase(results, "serving", phase_serving)
+    run_phase(results, "fused_towers", phase_fused_towers)
     ok = all(v.get("ok", False) for k, v in results.items()
              if isinstance(v, dict))
     results["all_ok"] = ok

@@ -99,3 +99,27 @@ def test_train_cli_steps_per_dispatch(tiny_dataset, tmp_path):
     assert loss_steps == [1, 2, 3, 4]  # every inner step logged
     assert any("fp_rate" in r for r in rows)
     assert os.path.isdir(os.path.join(log_dir, "ckpt"))
+
+
+def test_train_cli_fused_towers_dp(tiny_dataset, tmp_path):
+    """--fused_towers with --num_devices routes through the shard_map DP
+    builders (Pallas tower kernels run per-shard, BN moments psum'd) —
+    the full CLI loop must train, log, and checkpoint as usual."""
+    from feat3dnet_tpu.cli.train import main as train_main
+
+    log_dir = str(tmp_path / "fused_dp")
+    state = train_main([
+        "--data_dir", str(tiny_dataset), "--num_points", "128",
+        "--num_clusters", "8", "--num_samples", "8",
+        "--feature_dim", "16", "--batch_size", "2",
+        "--noattention", "--noregress", "--num_epochs", "1",
+        "--fused_towers", "--num_devices", "2",
+        "--steps_per_dispatch", "2",
+        "--augmentation", "Jitter", "RotateSmall",
+        "--validate_every_n_steps", "2", "--checkpoint_every_n_steps", "2",
+        "--summary_every_n_steps", "1",
+        "--log_dir", log_dir])
+    assert int(state.step) == 2
+    rows = [json.loads(l) for l in open(os.path.join(log_dir, "metrics.jsonl"))]
+    assert [r["step"] for r in rows if "loss" in r] == [1, 2]
+    assert os.path.isdir(os.path.join(log_dir, "ckpt"))

@@ -132,6 +132,88 @@ def test_fused_dp_step_matches_fused_single(rng):
                                    rtol=1e-4, atol=1e-6)
 
 
+def _assert_step_close(s1, m1, s2, m2, lr):
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=3 * lr)
+    for x, y in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
+    l1, t1 = jax.tree.flatten(m1)
+    l2, t2 = jax.tree.flatten(m2)
+    assert t1 == t2
+    for x, y in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_shardmap_dp_step_matches_fused_single(rng):
+    """shard_map DP (explicit psum reductions, role-aligned resharding of
+    the stacked triplet batch) == fused single-device step — including the
+    histogram metrics, whose inputs are all_gathered inside the shard."""
+    from feat3dnet_tpu.parallel import make_shardmap_fused_dp_train_step
+    from feat3dnet_tpu.train.trainer import make_fused_train_step
+
+    model = Feat3DNet(CFG)
+    state, tx = init_state(model, TCFG, CFG, jax.random.PRNGKey(0))
+    stacked = jnp.concatenate(_batch(rng), axis=0)
+    aug = ("RotateSmall", "Jitter")
+
+    single = jax.jit(make_fused_train_step(
+        model, tx, 1.0, CFG.attention, augmentations=aug, aug_seed=3))
+    s1, m1 = single(state, stacked)
+
+    mesh = make_mesh()
+    dp_model = Feat3DNet(CFG, bn_axis_name="data")
+    dp = make_shardmap_fused_dp_train_step(
+        dp_model, tx, 1.0, CFG.attention, mesh, augmentations=aug,
+        aug_seed=3, donate_state=False)
+    from jax.sharding import NamedSharding, PartitionSpec
+    sharded = jax.device_put(stacked, NamedSharding(mesh, PartitionSpec("data")))
+    s2, m2 = dp(state, sharded)
+    _assert_step_close(s1, m1, s2, m2, TCFG.learning_rate)
+
+
+def test_shardmap_dp_fused_towers_matches_single(rng):
+    """The point of the shard_map DP path: cfg.fused_towers (Pallas tower
+    kernels, not GSPMD-partitionable) trained data-parallel with psum'd BN
+    moments == the fused-towers single-device step."""
+    from feat3dnet_tpu.config import ModelConfig as MC
+    from feat3dnet_tpu.parallel import make_shardmap_fused_dp_train_step
+    from feat3dnet_tpu.train.trainer import make_fused_train_step
+
+    cfg = MC(num_clusters=8, num_samples=8, feature_dim=16, base_scale=10.0,
+             detector_mlp=(8,), detector_mlp2=(8,), descriptor_mlp=(8, 8),
+             fused_towers=True)
+    model = Feat3DNet(cfg)
+    state, tx = init_state(model, TCFG, cfg, jax.random.PRNGKey(0))
+    stacked = jnp.concatenate(_batch(rng), axis=0)
+
+    single = jax.jit(make_fused_train_step(model, tx, 1.0, cfg.attention))
+    s1, m1 = single(state, stacked)
+
+    mesh = make_mesh()
+    dp_model = Feat3DNet(cfg, bn_axis_name="data")
+    dp = make_shardmap_fused_dp_train_step(
+        dp_model, tx, 1.0, cfg.attention, mesh, donate_state=False)
+    from jax.sharding import NamedSharding, PartitionSpec
+    sharded = jax.device_put(stacked, NamedSharding(mesh, PartitionSpec("data")))
+    s2, m2 = dp(state, sharded)
+    _assert_step_close(s1, m1, s2, m2, TCFG.learning_rate)
+
+
+def test_shardmap_dp_rejects_unplumbed_model():
+    from feat3dnet_tpu.parallel import make_shardmap_fused_dp_train_step
+    import pytest
+
+    model = Feat3DNet(CFG)   # no bn_axis_name
+    with pytest.raises(ValueError, match="bn_axis_name"):
+        make_shardmap_fused_dp_train_step(model, None, 1.0, True, make_mesh())
+
+
 def test_chained_step_matches_sequential(rng):
     """k scanned steps in one dispatch must be BIT-equal to k sequential
     fused-step calls: the augmentation key derives from state.step inside
@@ -205,6 +287,44 @@ def test_chained_dp_step_matches_chained_single(rng):
                                    rtol=1e-4, atol=(2 * k + 1) * lr)
     # BN moments from step >=2 are computed through the +-lr-diverged
     # params, so the EMA stats inherit an O(k*lr)-scaled drift too
+    for x, y in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=k * 2e-6)
+
+
+def test_chained_shardmap_dp_matches_chained_single(rng):
+    """Chained shard_map DP (fused-towers-capable path, k steps scanned)
+    == chained single-device, with the same k-scaled tolerance story as
+    the GSPMD chained test above."""
+    from feat3dnet_tpu.parallel import make_chained_shardmap_dp_train_step
+    from feat3dnet_tpu.train.trainer import make_chained_train_step
+
+    model = Feat3DNet(CFG)
+    state, tx = init_state(model, TCFG, CFG, jax.random.PRNGKey(0))
+    aug = ("RotateSmall",)
+    k = 2
+    stack = jnp.stack([jnp.concatenate(_batch(rng), axis=0) for _ in range(k)])
+
+    single = jax.jit(make_chained_train_step(
+        model, tx, 1.0, CFG.attention, augmentations=aug, aug_seed=3))
+    s1, m1 = single(state, stack)
+
+    mesh = make_mesh()
+    dp_model = Feat3DNet(CFG, bn_axis_name="data")
+    dp = make_chained_shardmap_dp_train_step(
+        dp_model, tx, 1.0, CFG.attention, mesh, augmentations=aug,
+        aug_seed=3, donate_state=False)
+    from jax.sharding import NamedSharding, PartitionSpec
+    sharded = jax.device_put(stack, NamedSharding(mesh, PartitionSpec(None, "data")))
+    s2, m2 = dp(state, sharded)
+
+    loss1, loss2 = np.asarray(m1["loss"]), np.asarray(m2["loss"])
+    np.testing.assert_allclose(loss1[0], loss2[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(loss1[1:], loss2[1:], rtol=1e-3, atol=1e-4)
+    lr = TCFG.learning_rate
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=(2 * k + 1) * lr)
     for x, y in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-3, atol=k * 2e-6)
