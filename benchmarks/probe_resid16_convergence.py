@@ -1,11 +1,14 @@
-"""Does residual_dtype=bfloat16 train like f32? (round-4 shipping check)
+"""Does a training variant (bf16-stored residuals / fused Pallas towers)
+train like the default f32 XLA towers? (round-4 shipping check)
 
 Same seeded synthetic dataset, same train CLI, two runs differing ONLY in
---residual_dtype; compares the validation FPR@95 trajectories and final
-losses. Not bit-exact by design (forward rounds to the bf16 grid at the
-squash points); the claim being checked is CONVERGENCE EQUIVALENCE.
+the variant flag; compares the validation FPR@95 trajectories and final
+losses. Not bit-exact by design (resid16 rounds the forward to the bf16
+grid at the squash points; fused_towers reassociates matmul/BN
+accumulation); the claim being checked is CONVERGENCE EQUIVALENCE.
 
-    python benchmarks/probe_resid16_convergence.py [--places 48 --epochs 10]
+    python benchmarks/probe_resid16_convergence.py \
+        [--variant resid16|fused_towers] [--places 48 --epochs 10]
 """
 import argparse
 import json
@@ -28,14 +31,20 @@ def read_metrics(log_dir):
     return out
 
 
-def main(places: int = 48, epochs: int = 10):
+VARIANTS = {
+    "resid16": ["--residual_dtype", "bfloat16"],
+    "fused_towers": ["--fused_towers"],
+}
+
+
+def main(places: int = 48, epochs: int = 10, variant: str = "resid16"):
     from scaled_accuracy_run import build_dataset
 
     from feat3dnet_tpu.cli.train import main as train_main
     from feat3dnet_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    root = tempfile.mkdtemp(prefix="f3d_resid16_")
+    root = tempfile.mkdtemp(prefix=f"f3d_{variant}_")
     rng = np.random.RandomState(0)
     build_dataset(root, rng, places, 3, 48, 4)
 
@@ -46,8 +55,7 @@ def main(places: int = 48, epochs: int = 10):
               "--summary_every_n_steps", "10",
               "--checkpoint_every_n_steps", "100000", "--seed", "0"]
     runs = {}
-    for tag, extra in (("f32", []),
-                       ("resid16", ["--residual_dtype", "bfloat16"])):
+    for tag, extra in (("f32", []), (variant, VARIANTS[variant])):
         log_dir = os.path.join(root, f"run_{tag}")
         train_main(common + ["--log_dir", log_dir] + extra)
         runs[tag] = read_metrics(log_dir)
@@ -65,7 +73,7 @@ def main(places: int = 48, epochs: int = 10):
             "final_fpr95": round(fprs[-1][1], 4) if fprs else None,
         }
     print(json.dumps(out, indent=1))
-    d = abs(out["f32"]["final_fpr95"] - out["resid16"]["final_fpr95"])
+    d = abs(out["f32"]["final_fpr95"] - out[variant]["final_fpr95"])
     print(f"final FPR@95 delta: {d:.4f}")
     print("CONVERGENCE", "OK" if d <= 0.10 else "DIVERGED")
 
@@ -74,5 +82,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--places", type=int, default=48)
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--variant", default="resid16", choices=sorted(VARIANTS))
     a = ap.parse_args()
-    main(a.places, a.epochs)
+    main(a.places, a.epochs, a.variant)

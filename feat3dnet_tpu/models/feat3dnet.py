@@ -30,6 +30,7 @@ KeyError whenever enabled — broken-as-shipped debug code (see SURVEY.md
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -134,14 +135,28 @@ def _fused_prepool(module, grouped: Array, names, widths, plan,
     g = b * m
     ct = 128 if g % 128 == 0 else min(g, 128)
     gp = -(-g // ct) * ct
-    x_sm = jnp.transpose(grouped.astype(jnp.float32), (2, 0, 1, 3)
-                         ).reshape(ns, g, cin)
-    if gp > g:
-        x_sm = jnp.pad(x_sm, ((0, 0), (0, gp - g), (0, 0)))
+    # t8 lane-dense input layout by default: the slot-major (ns, G, 3)
+    # operand pads 3->128 lanes (42x) and is re-streamed in every kernel
+    # pass (module docstring); t8 cuts that stream 16x. F3D_FT_XT=0 is
+    # the measured-A/B escape hatch back to slot-major.
+    use_xt = os.environ.get("F3D_FT_XT", "1") != "0"
+    if use_xt:
+        x = jnp.transpose(grouped.astype(jnp.float32), (2, 3, 0, 1)
+                          ).reshape(ns, cin, g)
+        if gp > g:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, gp - g)))
+        x_sm = jnp.pad(x, ((0, 0), (0, 8 - cin), (0, 0))).reshape(ns * 8, gp)
+    else:
+        x_sm = jnp.transpose(grouped.astype(jnp.float32), (2, 0, 1, 3)
+                             ).reshape(ns, g, cin)
+        if gp > g:
+            x_sm = jnp.pad(x_sm, ((0, 0), (0, gp - g), (0, 0)))
     interpret = jax.default_backend() != "tpu"
     pooled, (means, vars_) = tower_prepool_fused(
         x_sm, tuple(flat), plan, tuple(widths), ns, g,
-        float(cfg.bn_epsilon), ct, interpret, bn_axis_name)
+        float(cfg.bn_epsilon), ct, interpret, bn_axis_name,
+        jnp.bfloat16, "t8" if use_xt else "slot_major",
+        cin if use_xt else None)
     for blk, mean, var in zip(blocks, means, vars_):
         blk(mean, var)
     return pooled[:g].reshape(b, m, 1, -1)

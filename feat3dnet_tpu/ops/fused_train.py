@@ -60,8 +60,18 @@ real slot and always tie with it).
 Layout: slot-major (ns, G, C) — each grid step owns every slot of a
 cluster tile, so pools are in-kernel loops over 2-D slices and every
 intermediate stays strictly 2-D (the Mosaic unroll rule, CLAUDE.md).
-The only lane-padded block is the (ns, ct, 3) input (42x VMEM pad on
-~100 KB logical — transient).
+
+x layouts: the original "slot_major" (ns, G, 3) input block is lane-
+padded 3->128 (42x) and — because every pass recomputes from x — that
+padding is RE-STREAMED from HBM in all ~2n+2 passes (~300 MB/pass at
+paper shapes; the same tax the r4 extract roofline measured on the
+(M, ns, 3) grouped tensor). The "t8" layout stores x transposed and
+lane-dense as (ns*8, Gp) f32, rows s*8+c with channels c>=cin zeroed —
+the exact layout the backward's dx output already used — cutting the
+per-pass x stream 16x. In-kernel, conv 0 consumes it as ns per-slot
+(8, ct)^T @ (8, C1) matmuls (zero-padded W0 rows contribute exactly 0),
+so no lane-3 array ever exists on the t8 path. The t8 epilogue/prolog
+transposes run once in XLA, not per pass.
 """
 from __future__ import annotations
 
@@ -163,9 +173,21 @@ def _poolcat_fwd(h: Array, ns: int, ct: int) -> Array:
     return jnp.concatenate([h, bcast], axis=1)
 
 
+def _h0_from_xt(xt: Array, w0p: Array, ns: int, ct: int) -> Array:
+    """Conv 0 directly on the t8 input layout: xt (ns*8, ct) tile, rows
+    s*8+c with channels c >= cin zeroed; w0p (8, C1) zero-row-padded W0.
+    Returns x @ W0 as (ns*ct, C1) — per-slot (8, ct)^T @ (8, C1) matmuls,
+    so no lane-3 array is ever materialized (padded rows contribute 0)."""
+    rows = []
+    for s in range(ns):
+        rows.append(_mm_tn(xt[s * 8:(s + 1) * 8, :], w0p))
+    return jnp.concatenate(rows, axis=0)
+
+
 class _Rec:
     """Per-conv forward record on a tile: input h_in, pre-BN y,
-    post-activation o, and whether a poolcat directly precedes it."""
+    post-activation o, and whether a poolcat directly precedes it.
+    h_in is None for conv 0 in t8 mode (consumed from x_ref directly)."""
 
     __slots__ = ("h_in", "y", "o", "after_poolcat")
 
@@ -174,12 +196,15 @@ class _Rec:
         self.after_poolcat = after_poolcat
 
 
-def _run_plan(x_ref, plan: Plan, params, upto_conv: int, ns: int, ct: int
-              ) -> Tuple[Array, List[_Rec]]:
+def _run_plan(x_ref, plan: Plan, params, upto_conv: int, ns: int, ct: int,
+              xt_mode: bool = False) -> Tuple[Array, List[_Rec]]:
     """Interpret the plan, applying folded convs, until `upto_conv`
     convs are consumed (and every plan op before the next conv).
-    Returns (h at that point, per-conv records)."""
-    h = x_ref[...].reshape(ns * ct, x_ref.shape[-1])
+    Returns (h at that point, per-conv records). With xt_mode, x_ref is
+    the (ns*8, ct) t8 tile and conv 0 consumes it via _h0_from_xt
+    (params[0]'s W must be the (8, C1) zero-row-padded W0); h is None
+    until the first conv runs."""
+    h = None if xt_mode else x_ref[...].reshape(ns * ct, x_ref.shape[-1])
     recs: List[_Rec] = []
     j = 0
     after_pc = False
@@ -194,7 +219,10 @@ def _run_plan(x_ref, plan: Plan, params, upto_conv: int, ns: int, ct: int
             break
         w, b, a, c = params[j]
         h_in = h
-        y = _mm(h, w[...]) + b[...]
+        if h is None:
+            y = _h0_from_xt(x_ref[...], w[...], ns, ct) + b[...]
+        else:
+            y = _mm(h, w[...]) + b[...]
         z = y * a[...] + c[...]
         h = jnp.maximum(z, 0.0) if op[1] else z
         recs.append(_Rec(h_in, y, h, after_pc))
@@ -223,15 +251,18 @@ def _plan_index_of_conv(plan: Plan, j: int) -> int:
 
 
 def _stats_kernel(x_ref, *refs, plan: Plan, j: int, ns: int, ct: int,
-                  g_total: int):
+                  g_total: int, xt_mode: bool = False):
     """Masked sum/sumsq of conv j's pre-BN output y."""
     i = pl.program_id(0)
     params = [tuple(refs[4 * l:4 * l + 4]) for l in range(j)]
     w_new, b_new = refs[4 * j], refs[4 * j + 1]
     stats_ref = refs[4 * j + 2]
 
-    h, _ = _run_plan(x_ref, plan, params, j, ns, ct)
-    y = _mm(h, w_new[...]) + b_new[...]
+    h, _ = _run_plan(x_ref, plan, params, j, ns, ct, xt_mode)
+    if h is None:   # xt_mode, j == 0: conv 0 is the conv under statistics
+        y = _h0_from_xt(x_ref[...], w_new[...], ns, ct) + b_new[...]
+    else:
+        y = _mm(h, w_new[...]) + b_new[...]
     ym = y * _row_mask(ns, ct, i, g_total)
     s = jnp.sum(ym, axis=0, keepdims=True)
     q = jnp.sum(ym * ym, axis=0, keepdims=True)
@@ -240,17 +271,19 @@ def _stats_kernel(x_ref, *refs, plan: Plan, j: int, ns: int, ct: int,
     _accum(stats_ref, i, upd)
 
 
-def _final_kernel(x_ref, *refs, plan: Plan, ns: int, ct: int):
+def _final_kernel(x_ref, *refs, plan: Plan, ns: int, ct: int,
+                  xt_mode: bool = False):
     """Full recompute + final slot max-pool -> (ct, C_top) tile."""
     n = _n_convs(plan)
     params = [tuple(refs[4 * l:4 * l + 4]) for l in range(n)]
     out_ref = refs[4 * n]
-    h, _ = _run_plan(x_ref, plan, params, n, ns, ct)
+    h, _ = _run_plan(x_ref, plan, params, n, ns, ct, xt_mode)
     pool, _ = _pool_and_ties(h, ns, ct)
     out_ref[...] = pool
 
 
-def _bwdstats_top_kernel(x_ref, *refs, plan: Plan, ns: int, ct: int):
+def _bwdstats_top_kernel(x_ref, *refs, plan: Plan, ns: int, ct: int,
+                         xt_mode: bool = False):
     """Route dpooled through the final pool ties; accumulate the top
     conv's (sum dz, sum dz*xhat)."""
     i = pl.program_id(0)
@@ -260,7 +293,7 @@ def _bwdstats_top_kernel(x_ref, *refs, plan: Plan, ns: int, ct: int):
     mu_ref, isig_ref, dpool_ref, out_ref = refs[k], refs[k + 1], \
         refs[k + 2], refs[k + 3]
 
-    h, recs = _run_plan(x_ref, plan, params, n, ns, ct)
+    h, recs = _run_plan(x_ref, plan, params, n, ns, ct, xt_mode)
     top = recs[-1]
     relu = plan[_plan_index_of_conv(plan, n - 1)][1]
     xhat = (top.y - mu_ref[0:1, :]) * isig_ref[0:1, :]
@@ -281,7 +314,8 @@ def _bwdstats_top_kernel(x_ref, *refs, plan: Plan, ns: int, ct: int):
 
 
 def _bwd_kernel(x_ref, *refs, plan: Plan, j: int, ns: int, ct: int,
-                g_total: int, cin: int, cot_dtype=jnp.bfloat16):
+                g_total: int, cin: int, cot_dtype=jnp.bfloat16,
+                xt_mode: bool = False):
     """Backward apply pass for conv j (0-indexed; top = n_convs-1).
 
     Input refs, in order:
@@ -315,7 +349,7 @@ def _bwd_kernel(x_ref, *refs, plan: Plan, j: int, ns: int, ct: int,
     pidx = _plan_index_of_conv(plan, j)
     relu = plan[pidx][1]
 
-    h, recs = _run_plan(x_ref, plan, params, j + 1, ns, ct)
+    h, recs = _run_plan(x_ref, plan, params, j + 1, ns, ct, xt_mode)
     rec = recs[-1]
     xhat = (rec.y - mu_ref[0:1, :]) * isig_ref[0:1, :]
     w_j, b_j, a_j, c_j = params[-1]
@@ -340,7 +374,14 @@ def _bwd_kernel(x_ref, *refs, plan: Plan, j: int, ns: int, ct: int,
     # are not — without the mask pads would contaminate dW/db/dx
     dy = ga_sig * (dz - m1 - xhat * m2) * _row_mask(ns, ct, i, g_total)
 
-    dw_upd = _mm_tn(rec.h_in, dy)
+    if rec.h_in is None:   # xt_mode conv 0: dW from the t8 tile directly
+        xt = x_ref[...]
+        dw_upd = _mm(xt[0:8, :], dy[0:ct, :])
+        for s in range(1, ns):
+            dw_upd = dw_upd + _mm(xt[s * 8:(s + 1) * 8, :],
+                                  dy[s * ct:(s + 1) * ct, :])
+    else:
+        dw_upd = _mm_tn(rec.h_in, dy)
     db_upd = jnp.concatenate(
         [jnp.sum(dy, axis=0, keepdims=True),
          jnp.zeros((7, dy.shape[-1]), jnp.float32)], axis=0)
@@ -385,15 +426,18 @@ def _bwd_kernel(x_ref, *refs, plan: Plan, j: int, ns: int, ct: int,
         _accum(bst_ref, i, upd)
     else:
         dx_ref = refs[k]
-        # dx^T = W_0 @ dy^T, lane-dense (C_in, ns*ct)
+        # dx^T = W_0 @ dy^T, lane-dense (C_in, ns*ct). In xt_mode w_j is
+        # already the (8, C1) zero-row-padded W0, so dxt's padded rows
+        # are exactly zero and slot blocks write through unmodified.
         dxt = jax.lax.dot_general(
             w_j[...], dy, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         for s in range(ns):
             blk = dxt[:, s * ct:(s + 1) * ct]        # (C_in, ct)
-            blk8 = jnp.concatenate(
-                [blk, jnp.zeros((8 - cin, ct), jnp.float32)], axis=0)
-            dx_ref[s * 8:(s + 1) * 8, :] = blk8
+            if not xt_mode:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((8 - cin, ct), jnp.float32)], axis=0)
+            dx_ref[s * 8:(s + 1) * 8, :] = blk
 
 
 # ---------------------------------------------------------------------------
@@ -432,17 +476,33 @@ def _folded_ops(flat_params, folded, upto):
     return ops
 
 
+def _pad_w0(flat_params: Tuple[Array, ...], cin: int) -> Tuple[Array, ...]:
+    """t8 mode: zero-row-pad W0 (cin, C1) -> (8, C1) once, in XLA, so
+    every kernel sees the padded operand (padded rows contribute 0)."""
+    w0 = flat_params[0]
+    w0p = jnp.concatenate(
+        [w0, jnp.zeros((8 - cin, w0.shape[1]), w0.dtype)], axis=0)
+    return (w0p,) + tuple(flat_params[1:])
+
+
 def _fwd_impl(x_sm: Array, flat_params: Tuple[Array, ...], plan: Plan,
               widths: Tuple[int, ...], ns: int, g_total: int, eps: float,
-              ct: int, interpret: bool, axis_name: Optional[str]):
+              ct: int, interpret: bool, axis_name: Optional[str],
+              xt_mode: bool = False, cin: Optional[int] = None):
     n = _n_convs(plan)
     gp = x_sm.shape[1]
     tiles = gp // ct
-    cin = x_sm.shape[2]
+    if xt_mode:
+        cin = int(cin)
+        flat_params = _pad_w0(flat_params, cin)
+        x_spec = pl.BlockSpec((ns * 8, ct), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    else:
+        cin = x_sm.shape[2]
+        x_spec = pl.BlockSpec((ns, ct, cin), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
     count = float(ns * g_total)
     grid = (tiles,)
-    x_spec = pl.BlockSpec((ns, ct, cin), lambda i: (0, i, 0),
-                          memory_space=pltpu.VMEM)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     cp = pltpu.CompilerParams(vmem_limit_bytes=_VMEM)
 
@@ -452,7 +512,7 @@ def _fwd_impl(x_sm: Array, flat_params: Tuple[Array, ...], plan: Plan,
         prev_ops = _folded_ops(flat_params, folded, j)
         stats = pl.pallas_call(
             partial(_stats_kernel, plan=plan, j=j, ns=ns, ct=ct,
-                    g_total=g_total),
+                    g_total=g_total, xt_mode=xt_mode),
             grid=grid,
             in_specs=[x_spec] + [vm] * (len(prev_ops) + 2),
             out_specs=pl.BlockSpec((8, widths[j]), lambda i: (0, 0),
@@ -470,7 +530,7 @@ def _fwd_impl(x_sm: Array, flat_params: Tuple[Array, ...], plan: Plan,
 
     all_ops = _folded_ops(flat_params, folded, n)
     pooled = pl.pallas_call(
-        partial(_final_kernel, plan=plan, ns=ns, ct=ct),
+        partial(_final_kernel, plan=plan, ns=ns, ct=ct, xt_mode=xt_mode),
         grid=grid,
         in_specs=[x_spec] + [vm] * len(all_ops),
         out_specs=pl.BlockSpec((ct, widths[-1]), lambda i: (i, 0),
@@ -485,17 +545,25 @@ def _fwd_impl(x_sm: Array, flat_params: Tuple[Array, ...], plan: Plan,
 def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs, plan: Plan,
               widths: Tuple[int, ...], ns: int, g_total: int, eps: float,
               ct: int, interpret: bool, axis_name: Optional[str],
-              cot_dtype=jnp.bfloat16):
+              cot_dtype=jnp.bfloat16, xt_mode: bool = False,
+              cin: Optional[int] = None):
     n = _n_convs(plan)
     gp = x_sm.shape[1]
     tiles = gp // ct
-    cin = x_sm.shape[2]
+    if xt_mode:
+        cin_true = int(cin)
+        cin = 8   # kernels see the padded W0/dW; sliced back below
+        flat_params = _pad_w0(flat_params, cin_true)
+        x_spec = pl.BlockSpec((ns * 8, ct), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    else:
+        cin = cin_true = x_sm.shape[2]
+        x_spec = pl.BlockSpec((ns, ct, cin), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
     count = float(ns * g_total)
     if axis_name is not None:
         count = count * jax.lax.psum(1.0, axis_name)
     grid = (tiles,)
-    x_spec = pl.BlockSpec((ns, ct, cin), lambda i: (0, i, 0),
-                          memory_space=pltpu.VMEM)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     cp = pltpu.CompilerParams(vmem_limit_bytes=_VMEM)
     conv_io = plan_conv_widths(plan, widths, cin)
@@ -505,7 +573,8 @@ def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs, plan: Plan,
                               memory_space=pltpu.VMEM)
     all_ops = _folded_ops(flat_params, folded, n)
     bst = pl.pallas_call(
-        partial(_bwdstats_top_kernel, plan=plan, ns=ns, ct=ct),
+        partial(_bwdstats_top_kernel, plan=plan, ns=ns, ct=ct,
+                xt_mode=xt_mode),
         grid=grid,
         in_specs=[x_spec] + [vm] * (len(all_ops) + 2) + [dpool_spec],
         out_specs=pl.BlockSpec((8, widths[top]), lambda i: (0, 0),
@@ -560,7 +629,8 @@ def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs, plan: Plan,
 
         outs = pl.pallas_call(
             partial(_bwd_kernel, plan=plan, j=j, ns=ns, ct=ct,
-                    g_total=g_total, cin=cin, cot_dtype=cot_dtype),
+                    g_total=g_total, cin=cin, cot_dtype=cot_dtype,
+                    xt_mode=xt_mode),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -573,6 +643,8 @@ def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs, plan: Plan,
             dw = jax.lax.psum(dw, axis_name)
             db8 = jax.lax.psum(db8, axis_name)
             # dgamma/dbeta come from bst, already psum'd above
+        if xt_mode and j == 0:
+            dw = dw[:cin_true]   # drop the zero-padded W0 rows
         # dgamma = sum dz*xhat, dbeta = sum dz — free from the reductions
         dparams[j] = (dw, db8[0], bst[1], bst[0])
         if j > 0:
@@ -582,7 +654,10 @@ def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs, plan: Plan,
                                    memory_space=pltpu.VMEM)
         else:
             dx_t = outs[2]                            # (ns*8, gp)
-            dx_sm = dx_t.reshape(ns, 8, gp)[:, :cin, :].transpose(0, 2, 1)
+            if xt_mode:
+                dx_sm = dx_t   # cotangent in the t8 input layout itself
+            else:
+                dx_sm = dx_t.reshape(ns, 8, gp)[:, :cin, :].transpose(0, 2, 1)
 
     dflat = []
     for j in range(n):
@@ -595,17 +670,21 @@ def _bwd_impl(x_sm, flat_params, dpooled, means, folded, isigs, plan: Plan,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def tower_prepool_fused(x_sm: Array, flat_params: Tuple[Array, ...],
                         plan: Plan, widths: Tuple[int, ...], ns: int,
                         g_total: int, eps: float = 1e-3, ct: int = 128,
                         interpret: bool = False, axis_name=None,
-                        cot_dtype=jnp.bfloat16):
+                        cot_dtype=jnp.bfloat16, x_layout: str = "slot_major",
+                        cin: Optional[int] = None):
     """Fused training-mode ConvBN tower + slot max-pool.
 
-    x_sm: (ns, Gp, C_in) slot-major grouped offsets, Gp % ct == 0
-    (pad clusters are masked out of every statistic; their pooled rows
-    are garbage — slice to g_total).
+    x_sm: with x_layout="slot_major", (ns, Gp, C_in) slot-major grouped
+    offsets; with x_layout="t8", the lane-dense (ns*8, Gp) transposed
+    layout (rows s*8+c, channels c >= cin zeroed — see module docstring;
+    `cin` must then be given). Gp % ct == 0 either way (pad clusters are
+    masked out of every statistic; their pooled rows are garbage — slice
+    to g_total).
     flat_params: per conv (W (Cin,Cout), b, gamma, beta), flat tuple in
     plan order. plan: see detector_plan / descriptor_plan.
     axis_name: data-parallel mesh axis for GLOBAL batch moments (flax
@@ -619,26 +698,27 @@ def tower_prepool_fused(x_sm: Array, flat_params: Tuple[Array, ...],
     """
     pooled, means, vars_, _, _ = _fwd_impl(
         x_sm, flat_params, plan, widths, ns, g_total, eps, ct, interpret,
-        axis_name)
+        axis_name, xt_mode=(x_layout == "t8"), cin=cin)
     return pooled, (tuple(means), tuple(vars_))
 
 
 def _vjp_fwd(x_sm, flat_params, plan, widths, ns, g_total, eps, ct,
-             interpret, axis_name, cot_dtype):
+             interpret, axis_name, cot_dtype, x_layout, cin):
     pooled, means, vars_, folded, isigs = _fwd_impl(
         x_sm, flat_params, plan, widths, ns, g_total, eps, ct, interpret,
-        axis_name)
+        axis_name, xt_mode=(x_layout == "t8"), cin=cin)
     res = (x_sm, flat_params, tuple(means), tuple(folded), tuple(isigs))
     return (pooled, (tuple(means), tuple(vars_))), res
 
 
 def _vjp_bwd(plan, widths, ns, g_total, eps, ct, interpret, axis_name,
-             cot_dtype, res, cts):
+             cot_dtype, x_layout, cin, res, cts):
     x_sm, flat_params, means, folded, isigs = res
     dpooled, _ = cts
     dx_sm, dflat = _bwd_impl(
         x_sm, flat_params, dpooled, list(means), list(folded), list(isigs),
-        plan, widths, ns, g_total, eps, ct, interpret, axis_name, cot_dtype)
+        plan, widths, ns, g_total, eps, ct, interpret, axis_name, cot_dtype,
+        xt_mode=(x_layout == "t8"), cin=cin)
     return dx_sm, dflat
 
 
@@ -648,11 +728,27 @@ tower_prepool_fused.defvjp(_vjp_fwd, _vjp_bwd)
 def convbn_maxpool_fused(x_sm: Array, flat_params: Tuple[Array, ...],
                          widths: Tuple[int, ...], ns: int, g_total: int,
                          eps: float = 1e-3, ct: int = 128,
-                         interpret: bool = False, cot_dtype=jnp.bfloat16):
+                         interpret: bool = False, cot_dtype=jnp.bfloat16,
+                         x_layout: str = "slot_major",
+                         cin: Optional[int] = None):
     """Plain relu-ConvBN chain + pool (the detector pre-pool segment)."""
     return tower_prepool_fused(x_sm, flat_params, detector_plan(len(widths)),
                                widths, ns, g_total, eps, ct, interpret,
-                               None, cot_dtype)
+                               None, cot_dtype, x_layout, cin)
+
+
+def pack_x_t8(x_sm: Array) -> Array:
+    """(ns, Gp, cin) slot-major -> the (ns*8, Gp) t8 layout (rows s*8+c,
+    channels c >= cin zeroed)."""
+    ns, gp, cin = x_sm.shape
+    xt = jnp.transpose(x_sm, (0, 2, 1))
+    return jnp.pad(xt, ((0, 0), (0, 8 - cin), (0, 0))).reshape(ns * 8, gp)
+
+
+def unpack_dx_t8(dx_t: Array, ns: int, cin: int) -> Array:
+    """Inverse of pack_x_t8 for the t8-layout x cotangent."""
+    gp = dx_t.shape[1]
+    return dx_t.reshape(ns, 8, gp)[:, :cin, :].transpose(0, 2, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -161,6 +161,77 @@ def test_fused_descriptor_plan_matches_reference(rng, g_total, gp, n_mid):
                                        err_msg=f"param {idx}")
 
 
+@pytest.mark.parametrize("plan_kind,g_total,gp", [
+    ("detector", 96, 96),
+    ("detector", 80, 96),      # padded clusters
+    ("descriptor", 80, 96),    # poolcat path + padding
+])
+def test_t8_layout_matches_slot_major(rng, plan_kind, g_total, gp):
+    """x_layout='t8' (lane-dense transposed input, per-slot padded-K
+    conv-0 matmuls) vs the slot-major layout: same forward, stats, and
+    gradients — incl. the x cotangent mapped back through unpack_dx_t8,
+    and exact zeros in the pad channel rows of dx_t."""
+    from feat3dnet_tpu.ops.fused_train import (detector_plan, pack_x_t8,
+                                               unpack_dx_t8)
+
+    ns, cin, ct = 16, 3, 32
+    if plan_kind == "detector":
+        widths = (8, 16, 32)
+        plan = detector_plan(len(widths))
+    else:
+        pre, mid = (8, 16), (24, 16)
+        widths = pre + mid
+        plan = descriptor_plan(len(pre), len(mid))
+    x = rng.randn(ns, gp, cin).astype(np.float32)
+    x[ns // 2:, :g_total // 3, :] = x[0:1, :g_total // 3, :]  # pool ties
+    x = jnp.asarray(x)
+    flat = _make_params_plan(rng, plan, widths, cin)
+    lw = _loss_weights(rng, g_total, widths[-1])
+
+    def loss_sm(x, flat):
+        pooled, (means, vars_) = tower_prepool_fused(
+            x, flat, plan, widths, ns, g_total, 1e-3, ct, True, None,
+            jnp.float32)
+        return jnp.sum(pooled[:g_total] * lw), (means, vars_)
+
+    def loss_t8(xt, flat):
+        pooled, (means, vars_) = tower_prepool_fused(
+            xt, flat, plan, widths, ns, g_total, 1e-3, ct, True, None,
+            jnp.float32, "t8", cin)
+        return jnp.sum(pooled[:g_total] * lw), (means, vars_)
+
+    (l0, (m0, v0)), g0 = jax.value_and_grad(loss_sm, argnums=(0, 1),
+                                            has_aux=True)(x, flat)
+    (l1, (m1, v1)), g1 = jax.value_and_grad(loss_t8, argnums=(0, 1),
+                                            has_aux=True)(pack_x_t8(x), flat)
+
+    # not bit-equal: conv 0 runs as per-slot padded-K matmuls, whose XLA
+    # accumulation rounds differently from the single K=3 matmul (measured
+    # ~1e-6 everywhere); same envelope as the vs-reference tolerances
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
+    for a, b in zip(m1 + v1, m0 + v0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    dx_t, dflat_t = g1
+    dx_s, dflat_s = g0
+    # pad channel rows of the t8 cotangent are exactly zero (zero W0 rows)
+    dx_t_np = np.asarray(dx_t).reshape(ns, 8, gp)
+    np.testing.assert_array_equal(dx_t_np[:, cin:, :], 0.0)
+    np.testing.assert_allclose(np.asarray(unpack_dx_t8(dx_t, ns, cin)),
+                               np.asarray(dx_s), rtol=1e-3, atol=1e-5)
+    for idx, (a, b) in enumerate(zip(dflat_t, dflat_s)):
+        if idx % 4 == 1:
+            # conv-bias grads are analytically ZERO under BN: both sides
+            # return reduction rounding noise — compare absolutely (same
+            # convention as the vs-reference tests above)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, err_msg=f"b{idx // 4}")
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4,
+                                       err_msg=f"param {idx}")
+
+
 def _make_params_plan(rng, plan, widths, cin):
     from feat3dnet_tpu.ops.fused_train import plan_conv_widths as pcw
     flat = []

@@ -180,6 +180,15 @@ leaf = np.asarray(new_state.params["detection"]["conv0"]["conv2d"]["kernel"])
 print("LOSS", pid, repr(loss), flush=True)
 print("LEAFSUM", pid, repr(float(np.float64(leaf.ravel().astype(np.float64)
                                             .sum()))), flush=True)
+
+# shard_map DP flavor (explicit psum BN/grad reductions) across the SAME
+# 2-process global mesh — the fused-towers production DP path
+from feat3dnet_tpu.parallel import make_shardmap_fused_dp_train_step
+sm_model = Feat3DNet(cfg, bn_axis_name="data")
+sm_step = make_shardmap_fused_dp_train_step(
+    sm_model, tx, cfg.margin, cfg.attention, mesh, donate_state=False)
+sm_state, sm_metrics = sm_step(state, batch)
+print("SMLOSS", pid, repr(float(sm_metrics["loss"])), flush=True)
 print("OK", pid, flush=True)
 """
 
@@ -244,7 +253,7 @@ def test_two_process_dp_train_step(tmp_path):
         assert p.returncode == 0 and f"OK {pid}" in out, \
             f"worker {pid} failed:\n{out}"
 
-    losses, sums = {}, {}
+    losses, sums, sm_losses = {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("LOSS"):
@@ -253,6 +262,9 @@ def test_two_process_dp_train_step(tmp_path):
             if line.startswith("LEAFSUM"):
                 _, pid, v = line.split(" ", 2)
                 sums[int(pid)] = float(eval(v))
+            if line.startswith("SMLOSS"):
+                _, pid, v = line.split(" ", 2)
+                sm_losses[int(pid)] = float(eval(v))
     assert set(losses) == {0, 1}
     # both processes agree with each other exactly (replicated outputs)
     assert losses[0] == losses[1]
@@ -261,3 +273,7 @@ def test_two_process_dp_train_step(tmp_path):
     # the DP grad all-reduce may reassociate the batch reduction)
     np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-4)
     np.testing.assert_allclose(sums[0], ref_sum, rtol=1e-4)
+    # shard_map DP flavor: replicated across processes, same loss envelope
+    assert set(sm_losses) == {0, 1}
+    assert sm_losses[0] == sm_losses[1]
+    np.testing.assert_allclose(sm_losses[0], ref_loss, rtol=1e-4)
