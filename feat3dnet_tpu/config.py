@@ -73,6 +73,11 @@ class ModelConfig:
     # BN semantics to accumulation order; NOT bit-exact vs the default.
     # f32 compute only; ignored at eval or when keypoints vary.
     fused_towers: bool = False
+    # dtype of the fused pipeline's streamed inter-layer cotangents (the
+    # only HBM tensor the backward touches besides the input). bfloat16
+    # halves the stream; float32 matches the XLA step's update direction
+    # much more closely on chip (see BENCHMARKS.md fused-towers envelope).
+    fused_cot_dtype: Any = jnp.bfloat16
 
     # MLP widths (reference feat3dnet.py:278-301). Descriptor mlp2 widens to
     # [256] when feature_dim > 64, matching feat3dnet.py:300.

@@ -155,7 +155,7 @@ def _fused_prepool(module, grouped: Array, names, widths, plan,
     pooled, (means, vars_) = tower_prepool_fused(
         x_sm, tuple(flat), plan, tuple(widths), ns, g,
         float(cfg.bn_epsilon), ct, interpret, bn_axis_name,
-        jnp.bfloat16, "t8" if use_xt else "slot_major",
+        cfg.fused_cot_dtype, "t8" if use_xt else "slot_major",
         cin if use_xt else None)
     for blk, mean, var in zip(blocks, means, vars_):
         blk(mean, var)

@@ -263,16 +263,31 @@ class Trainer:
     every 20 steps, checkpoint every 500, FPR@95 validation every 250).
     Wiring of data generator / validation / checkpointing is injected so the
     loop itself stays testable.
+
+    Uses the fused single-dispatch step (`make_fused_train_step`): the
+    triplet is stacked on the host and shipped as ONE (3B, N, 3) upload per
+    step from a prefetch worker thread, so the host->device transfer
+    overlaps device compute instead of paying three serialized ~40 ms
+    tunnel round-trips per step (the r4 verdict's weakness #5 — the plain
+    3-upload step is RTT-bound through the remote tunnel).
+
+    Args:
+      augmentations: names applied ON DEVICE inside the jitted step (key
+        derived from state.step — deterministic, resume-safe). None (the
+        default) trains on the batches as given, matching pre-r5 Trainer
+        semantics; cli/train passes the resolved TrainConfig augmentations.
     """
 
     def __init__(self, model: Feat3DNet, model_cfg: ModelConfig, train_cfg: TrainConfig,
-                 log_fn=None):
+                 log_fn=None, augmentations: Optional[Sequence[str]] = None):
         self.model = model
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.tx = make_optimizer(train_cfg.learning_rate, train_cfg.freeze_scopes)
-        self.step_fn = jax.jit(make_train_step(
-            model, self.tx, model_cfg.margin, model_cfg.attention), donate_argnums=0)
+        self.step_fn = jax.jit(make_fused_train_step(
+            model, self.tx, model_cfg.margin, model_cfg.attention,
+            augmentations=tuple(augmentations) if augmentations else None,
+            aug_seed=train_cfg.seed + 1), donate_argnums=0)
         self.log = log_fn or (lambda *a, **k: None)
 
     def init(self, rng):
@@ -281,16 +296,31 @@ class Trainer:
 
     def fit(self, state: TrainState, data_iter, num_steps: int,
             hooks: Optional[Dict[int, Callable]] = None):
-        """Run `num_steps` steps; hooks maps period -> fn(state, metrics)."""
+        """Run `num_steps` steps; hooks maps period -> fn(state, metrics).
+
+        `data_iter` yields (anchors, positives, negatives) triplets; each is
+        stacked to the fused step's (3B, N, 3) batch and device_put from the
+        prefetch thread (one overlapped upload per step)."""
+        from feat3dnet_tpu.data.datagenerator import prefetch
+
         hooks = hooks or {}
         metrics = None
         step = int(state.step)   # host mirror — avoids a per-step device sync
-        for _ in range(num_steps):
-            batch = next(data_iter, None)
-            if batch is None:
-                break
-            anchors, positives, negatives = batch
-            state, metrics = self.step_fn(state, anchors, positives, negatives)
+
+        def take(it, n):
+            for _ in range(n):
+                batch = next(it, None)
+                if batch is None:
+                    return
+                yield batch
+
+        def to_device(batch):
+            a, p, n = batch
+            return jax.device_put(jnp.concatenate(
+                [a[..., :3], p[..., :3], n[..., :3]], axis=0))
+
+        for clouds in prefetch(take(data_iter, num_steps), transform=to_device):
+            state, metrics = self.step_fn(state, clouds)
             step += 1
             for period, fn in hooks.items():
                 if step % period == 0:
