@@ -97,7 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the fused Pallas fwd+bwd kernels (ops/fused_train) "
                         "instead of the default XLA towers — f32 training "
                         "only; same checkpoint tree; gradients agree in "
-                        "direction, not bitwise (see BENCHMARKS.md)")
+                        "direction, not bitwise (see BENCHMARKS.md). "
+                        "Measured r5: 17.6 vs 25.1 ms/step (−30 %) — the "
+                        "fastest f32 mode; bf16 XLA towers (16.1 ms) remain "
+                        "the absolute frontier")
     return p
 
 
