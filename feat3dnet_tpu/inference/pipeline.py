@@ -204,14 +204,17 @@ class InferencePipeline:
 
         def detector_on_grouped(variables, grouped, centers_sorted):
             if self.icfg.use_fused_detector:
-                # fused detector-only kernel: same (att, ori) contract,
-                # serving-envelope rounding (see InferenceConfig)
+                # fused detector-only kernel, unfolded-BN weights: raw
+                # Dense + replayed flax BN matches the XLA detector's
+                # per-op rounding (~1e-6 agreement vs the folded variant's
+                # ~1e-2 serving envelope — see detector_weights_unfolded)
                 from feat3dnet_tpu.ops.fused_describe import (
-                    folded_weights, fused_detect_clusters_2d)
+                    detector_weights_unfolded, fused_detect_clusters_2d)
 
                 offs = grouped - centers_sorted[:, None, :]
                 return fused_detect_clusters_2d(
-                    folded_weights(variables, self.mcfg), offs, self.mcfg)
+                    detector_weights_unfolded(variables, self.mcfg), offs,
+                    self.mcfg, unfolded=True)
 
             normalized = (grouped - centers_sorted[:, None, :]) / r
 
@@ -459,13 +462,16 @@ class InferencePipeline:
                             sc, centers_sorted, r, ns, tile=tc)
                 if use_planes:
                     from feat3dnet_tpu.ops.fused_describe import (
-                        folded_weights, fused_detect_planes_t,
-                        transpose_folded_weights)
+                        detector_weights_unfolded, fused_detect_planes_t,
+                        transpose_unfolded_detector)
 
+                    # unfolded-BN weights: XLA-parity rounding (~1e-6 vs
+                    # the folded variant's ~1e-2 serving envelope)
                     att_s, ori_s = fused_detect_planes_t(
-                        transpose_folded_weights(
-                            folded_weights(variables, self.mcfg)),
-                        planes, cnt_plane, centers_sorted, self.mcfg)
+                        transpose_unfolded_detector(
+                            detector_weights_unfolded(variables, self.mcfg)),
+                        planes, cnt_plane, centers_sorted, self.mcfg,
+                        unfolded=True)
                 else:
                     att_s, ori_s = core.detector_on_grouped(
                         variables, grouped, centers_sorted)

@@ -70,6 +70,64 @@ def folded_weights(variables: Dict[str, Any], cfg: ModelConfig) -> List[Array]:
     return [jnp.asarray(w, jnp.float32) for w in out]
 
 
+def detector_weights_unfolded(variables: Dict[str, Any],
+                              cfg: ModelConfig) -> List[Array]:
+    """Detector weights WITHOUT BN folding, for the XLA-parity detect
+    kernels (`unfolded=True`).
+
+    Folding multiplies W by γ·rsqrt(σ²+ε) BEFORE the MXU's bf16 operand
+    rounding, so folded-kernel products round differently from the XLA
+    towers' (unfolded Dense → BatchNorm) — the measured ~1e-2 serving
+    envelope. This variant ships the raw Dense (kernel, bias) plus flax's
+    eval-mode BN constants per ConvBN layer — mean μ and
+    mul = rsqrt(σ²+ε)·γ, computed HERE with flax's exact op order — so the
+    kernel can replay y = (Wx + b − μ)·mul + β with the same per-op
+    rounding as the model path.
+
+    Order: per detector conv / post conv: (kernel, bias, mean, mul,
+    bn_bias); then attention (kernel, bias), orientation (kernel, bias).
+    """
+    p, s = variables["params"], variables["batch_stats"]
+    eps = cfg.bn_epsilon
+    out: List[Array] = []
+    det_p, det_s = p["detection"], s["detection"]
+    names = ([f"conv{i}" for i in range(len(cfg.detector_mlp))]
+             + [f"conv_post_{i}" for i in range(len(cfg.detector_mlp2))])
+    for name in names:
+        mul = jax.lax.rsqrt(det_s[name]["bn"]["var"] + eps) \
+            * det_p[name]["bn"]["scale"]          # flax: rsqrt first, then ·γ
+        out.extend([det_p[name]["conv2d"]["kernel"],
+                    det_p[name]["conv2d"]["bias"],
+                    det_s[name]["bn"]["mean"], mul,
+                    det_p[name]["bn"]["bias"]])
+    out.extend([det_p["attention"]["kernel"], det_p["attention"]["bias"]])
+    out.extend([det_p["orientation"]["kernel"], det_p["orientation"]["bias"]])
+    return [jnp.asarray(w, jnp.float32) for w in out]
+
+
+def transpose_unfolded_detector(weights: List[Array]) -> List[Array]:
+    """detector_weights_unfolded() -> the transposed (planes/kernel_t)
+    layout: kernels (Cin, Cout) -> (Cout, Cin) with K=3 input layers
+    zero-padded to K=8; every per-channel vector (bias, mean, mul,
+    bn_bias) -> a (Cout, 1) column. Layout: (len - 4) leading entries are
+    5-tuples per ConvBN layer, the trailing 4 are the two head (k, b)
+    pairs."""
+    out: List[Array] = []
+    n_conv_entries = len(weights) - 4
+    assert n_conv_entries % 5 == 0, "unexpected unfolded-weights layout"
+    i = 0
+    while i < len(weights):
+        k = jnp.transpose(weights[i])
+        if k.shape[1] == 3:
+            k = jnp.pad(k, ((0, 0), (0, 5)))
+        out.append(k)
+        n_vec = 4 if i < n_conv_entries else 1
+        for v in weights[i + 1:i + 1 + n_vec]:
+            out.append(v[:, None])
+        i += 1 + n_vec
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Lane packing: the tower's K=3 input layers and K=32/64 mid layers leave
 # most of the MXU's 128 contraction lanes idle (BENCHMARKS.md roofline —
@@ -423,19 +481,31 @@ def _membership_mask_2d(pts, tc: int, ns: int, r2):
 
 
 def _detector_heads_2d(flat_n, mask_r, next_w, mm, cfg: ModelConfig,
-                       tc: int, act_t):
+                       tc: int, act_t, next_bn=None):
     """Detector tower + attention/orientation heads on slot-major rows:
     (R, 3) normalized points + (R, 1) mask -> (att (TC, 1), ori (TC, 2)
     normalized (cos, sin)). Shared tower algebra of `_kernel_2d` and
-    `_detect_kernel_2d`."""
+    `_detect_kernel_2d`.
+
+    next_bn (unfolded mode): per conv layer yields (μ, mul, β) rows and
+    the layer replays flax eval BatchNorm after the raw Dense —
+    y = (Wx + b − μ)·mul + β — instead of consuming BN-folded weights
+    (XLA-parity rounding; see detector_weights_unfolded)."""
+
+    def conv(h):
+        k, b = next_w()
+        v = mm(h, k) + b
+        if next_bn is not None:
+            mu, mul, beta = next_bn()
+            v = (v - mu) * mul + beta
+        return jnp.maximum(v, 0.0).astype(act_t)
+
     h = flat_n
     for _ in range(len(cfg.detector_mlp)):
-        k, b = next_w()
-        h = jnp.maximum(mm(h, k) + b, 0.0).astype(act_t)
+        h = conv(h)
     h = _half_max(h * mask_r.astype(act_t), tc)               # (TC, C)
     for _ in range(len(cfg.detector_mlp2)):
-        k, b = next_w()
-        h = jnp.maximum(mm(h, k) + b, 0.0).astype(act_t)
+        h = conv(h)
     ka, ba = next_w()
     att = jax.nn.softplus(mm(h, ka) + ba)                     # (TC, 1)
     ko, bo = next_w()
@@ -919,14 +989,19 @@ def fused_describe_clusters_t(weights_t: List[Array], clusters_p: Array,
 
 
 def _detect_kernel_planes(px_ref, py_ref, pz_ref, cnt_ref, ctr_ref, *refs,
-                          cfg: ModelConfig, tc: int, ns: int):
+                          cfg: ModelConfig, tc: int, ns: int,
+                          unfolded: bool = False):
     """Detector tower directly on the merge kernel's lane-dense planes
     (ops/hash_grid.ball_query_planes_sorted): rows = slots, lanes =
     centers. Applies the reference repeat-pad semantics as slot-count
     masks at the pools (set-invariance argument of _kernel; detector
     pre-pool layers are all ReLU, so zero-masking is exact). Per-slot
     work is the kernel_t pattern: 8-aligned block loads, value-level row
-    extraction, matmul chains on (C, tc) activations."""
+    extraction, matmul chains on (C, tc) activations.
+
+    unfolded: weights from transpose_unfolded_detector — raw Dense +
+    replayed flax BN ((C, 1) columns broadcast over the lane dim) and
+    division normalization; XLA-parity rounding."""
     weights = refs[:-1]
     out_ref = refs[-1]
     widx = 0
@@ -937,16 +1012,47 @@ def _detect_kernel_planes(px_ref, py_ref, pz_ref, cnt_ref, ctr_ref, *refs,
         widx += 2
         return k, b
 
-    def mm(k, a):
-        return jnp.dot(k, a, preferred_element_type=jnp.float32)
+    def next_bn():
+        nonlocal widx
+        mu, mul, beta = (weights[widx][...], weights[widx + 1][...],
+                         weights[widx + 2][...])
+        widx += 3
+        return mu, mul, beta
 
-    inv_r = 1.0 / jnp.float32(cfg.base_scale)
+    def mm(k, a):
+        # unfolded = the XLA-parity mode: Mosaic's DEFAULT dot is a
+        # single bf16 pass while the XLA towers' f32 DEFAULT is
+        # multi-pass (measured on chip: DEFAULT-vs-DEFAULT still differs
+        # at ~bf16 epsilon, 2.2e-3 relmax, with folding already removed);
+        # HIGHEST (f32-exact passes) closes it
+        return jnp.dot(k, a, preferred_element_type=jnp.float32,
+                       precision=(jax.lax.Precision.HIGHEST if unfolded
+                                  else None))
+
+    def conv_layer(h, wbn):
+        (k, b), bn = wbn
+        v = mm(k, h) + b
+        if bn is not None:
+            mu, mul, beta = bn
+            v = (v - mu) * mul + beta
+        return jnp.maximum(v, 0.0)
+
+    r = jnp.float32(cfg.base_scale)
+    inv_r = 1.0 / r
+
+    def norm(v):
+        # the model path divides (feat3dnet.py _group_normalized); the
+        # folded kernel's reciprocal multiply is only exact for
+        # power-of-two radii
+        return v / r if unfolded else v * inv_r
+
     ctr8 = ctr_ref[...]                                       # (8, tc)
     cx, cy, cz = ctr8[0:1, :], ctr8[1:2, :], ctr8[2:3, :]
     cnt = cnt_ref[0:1, :]                                     # (1, tc)
 
     n_det = len(cfg.detector_mlp)
-    det_w = [next_w() for _ in range(n_det)]
+    det_w = [(next_w(), next_bn() if unfolded else None)
+             for _ in range(n_det)]
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]        # (ns, tc)
 
     pool = None
@@ -956,13 +1062,13 @@ def _detect_kernel_planes(px_ref, py_ref, pz_ref, cnt_ref, ctr_ref, *refs,
         z8 = pz[8 * g:8 * g + 8, :]
         for i in range(8):
             s = 8 * g + i
-            ox = (x8[i:i + 1, :] - cx) * inv_r                # (1, tc)
-            oy = (y8[i:i + 1, :] - cy) * inv_r
-            oz = (z8[i:i + 1, :] - cz) * inv_r
+            ox = norm(x8[i:i + 1, :] - cx)                    # (1, tc)
+            oy = norm(y8[i:i + 1, :] - cy)
+            oz = norm(z8[i:i + 1, :] - cz)
             h = jnp.concatenate(
                 [ox, oy, oz, jnp.zeros((5, tc), jnp.float32)], axis=0)
-            for k, b in det_w:
-                h = jnp.maximum(mm(k, h) + b, 0.0)
+            for wbn in det_w:
+                h = conv_layer(h, wbn)
             # repeat-pad ⇒ slots ≥ cnt never change the max; ReLU ≥ 0 so
             # zero-masking is exact. Empty balls (cnt = 0: only padded /
             # invalid centers — a real center's ball contains itself)
@@ -973,8 +1079,7 @@ def _detect_kernel_planes(px_ref, py_ref, pz_ref, cnt_ref, ctr_ref, *refs,
 
     g2 = pool
     for _ in range(len(cfg.detector_mlp2)):
-        k, b = next_w()
-        g2 = jnp.maximum(mm(k, g2) + b, 0.0)
+        g2 = conv_layer(g2, (next_w(), next_bn() if unfolded else None))
     ka, ba = next_w()
     att = jax.nn.softplus(mm(ka, g2) + ba)                    # (1, tc)
     ko, bo = next_w()
@@ -986,9 +1091,10 @@ def _detect_kernel_planes(px_ref, py_ref, pz_ref, cnt_ref, ctr_ref, *refs,
         [att, ori, jnp.zeros((5, tc), jnp.float32)], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "unfolded", "interpret"))
 def fused_detect_planes_t(weights_t: List[Array], planes, cnt_plane: Array,
                           centers: Array, cfg: ModelConfig,
+                          unfolded: bool = False,
                           interpret: Optional[bool] = None
                           ) -> Tuple[Array, Array]:
     """Detector pass directly on lane-dense merge planes: (topx, topy,
@@ -997,10 +1103,12 @@ def fused_detect_planes_t(weights_t: List[Array], planes, cnt_plane: Array,
     center order.
 
     weights_t = transpose_folded_weights(folded_weights(...)) (descriptor
-    tail ignored). The whole attention pass touches NO lane-padded array:
-    planes in, 12 B/center out (vs the standard path's 32×-padded
-    (M, ns, 4) buffer + (chunk, ns, C) tower activations). Same rounding
-    envelope as fused_detect_clusters_2d — opt-in via use_fused_detector.
+    tail ignored) — the serving rounding envelope; or
+    transpose_unfolded_detector(detector_weights_unfolded(...)) with
+    unfolded=True — raw Dense + replayed flax BN, matching the XLA
+    detector's per-op rounding. The whole attention pass touches NO
+    lane-padded array: planes in, 12 B/center out (vs the standard path's
+    32×-padded (M, ns, 4) buffer + (chunk, ns, C) tower activations).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1010,7 +1118,8 @@ def fused_detect_planes_t(weights_t: List[Array], planes, cnt_plane: Array,
     tiles = px.shape[0] // ns
     mp = tiles * tc
     m = centers.shape[0]
-    n_det = 2 * (len(cfg.detector_mlp) + len(cfg.detector_mlp2) + 2)
+    n_layers = len(cfg.detector_mlp) + len(cfg.detector_mlp2)
+    n_det = (5 * n_layers + 4) if unfolded else 2 * (n_layers + 2)
     det_w = list(weights_t[:n_det])
 
     # transposed tile-padded centers, as in the merge prologue
@@ -1021,7 +1130,8 @@ def fused_detect_planes_t(weights_t: List[Array], planes, cnt_plane: Array,
 
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in det_w]
     out = pl.pallas_call(
-        partial(_detect_kernel_planes, cfg=cfg, tc=tc, ns=ns),
+        partial(_detect_kernel_planes, cfg=cfg, tc=tc, ns=ns,
+                unfolded=unfolded),
         grid=(tiles,),
         in_specs=[pl.BlockSpec((ns, tc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 3
@@ -1042,14 +1152,19 @@ def fused_detect_planes_t(weights_t: List[Array], planes, cnt_plane: Array,
     return att, ori
 
 
-def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
+def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
+                      unfolded: bool = False):
     """Detector-only slot-major kernel: membership chain + detector tower
     + attention/orientation heads of `_kernel_2d`, with the descriptor
     tower dropped. Output is ROW-form — rows 0/1/2 of each (8, tc) block
     carry att/cos/sin — because a column output lane-pads 128× in scoped
     VMEM at 131k clusters (the ballmax lesson, see hash_grid
     `_ballmax_kernel`); the (TC, 3) payload is transposed by one identity
-    matmul (exact at HIGHEST precision)."""
+    matmul (exact at HIGHEST precision).
+
+    unfolded: weights from detector_weights_unfolded — raw Dense + replayed
+    flax BN, and the input normalization uses the model path's division
+    (XLA-parity rounding)."""
     weights = refs[:-1]
     out_ref = refs[-1]
     widx = 0
@@ -1060,17 +1175,32 @@ def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
         widx += 2
         return k, b
 
+    def next_bn():
+        nonlocal widx
+        mu, mul, beta = (weights[widx][...], weights[widx + 1][...],
+                         weights[widx + 2][...])
+        widx += 3
+        return mu, mul, beta
+
     def mm(a, k):
         return jnp.dot(a, k, preferred_element_type=jnp.float32)
 
+    def mm_hi(a, k):
+        # XLA-parity mode: see _detect_kernel_planes.mm
+        return jnp.dot(a, k, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
     r2 = jnp.float32(cfg.base_scale) ** 2
-    inv_r = 1.0 / jnp.float32(cfg.base_scale)
     R = tc * ns
 
     pts = flat_ref[...].reshape(R, 3)
     mask_r = _membership_mask_2d(pts, tc, ns, r2)             # (R, 1)
-    att, ori = _detector_heads_2d(pts * inv_r, mask_r, next_w, mm, cfg,
-                                  tc, jnp.float32)
+    flat_n = (pts / jnp.float32(cfg.base_scale) if unfolded
+              else pts * (1.0 / jnp.float32(cfg.base_scale)))
+    att, ori = _detector_heads_2d(flat_n, mask_r,
+                                  next_w, mm_hi if unfolded else mm, cfg,
+                                  tc, jnp.float32,
+                                  next_bn=next_bn if unfolded else None)
 
     payload = jnp.concatenate([att, ori], axis=1)             # (TC, 3)
     rows = _transpose_cols_to_rows(payload, tc)               # (3, TC)
@@ -1078,9 +1208,10 @@ def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int):
         [rows, jnp.zeros((5, tc), jnp.float32)], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "tile", "unfolded", "interpret"))
 def fused_detect_clusters_2d(weights: List[Array], clusters: Array,
                              cfg: ModelConfig, tile: int = 256,
+                             unfolded: bool = False,
                              interpret: Optional[bool] = None
                              ) -> Tuple[Array, Array]:
     """(B, nsample, 3) origin-centered clusters -> (attention (B,),
@@ -1090,17 +1221,20 @@ def fused_detect_clusters_2d(weights: List[Array], clusters: Array,
     every (chunk, ns, C) activation between layers (~50 GB of HBM traffic
     at 131k clusters), where this kernel streams cluster coords in and 12
     bytes per cluster out. weights = folded_weights() (the descriptor
-    tail entries are ignored). Same membership/tower algebra as
-    `_kernel_2d`, so it matches the model path to the serving kernel's
-    rounding envelope (low-bit matmul differences — NOT bit-exact, which
-    is why the pipeline flag `use_fused_detector` is opt-in)."""
+    tail entries are ignored) — same membership/tower algebra as
+    `_kernel_2d`, matching the model path to the serving rounding
+    envelope; or detector_weights_unfolded() with unfolded=True — raw
+    Dense + replayed flax BN, matching the XLA detector's per-op rounding
+    (the folding is what moves products off the XLA path's bf16 operand
+    grid)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, ns, _ = clusters.shape
     assert ns == cfg.num_samples, \
         f"cluster size {ns} != num_samples {cfg.num_samples}"
     assert ns & (ns - 1) == 0, "slot-major kernel needs power-of-two ns"
-    n_det = 2 * (len(cfg.detector_mlp) + len(cfg.detector_mlp2) + 2)
+    n_layers = len(cfg.detector_mlp) + len(cfg.detector_mlp2)
+    n_det = (5 * n_layers + 4) if unfolded else 2 * (n_layers + 2)
     det_w = list(weights[:n_det])
     pad = -b % tile
     padded = jnp.pad(clusters.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
@@ -1109,7 +1243,8 @@ def fused_detect_clusters_2d(weights: List[Array], clusters: Array,
 
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in det_w]
     out = pl.pallas_call(
-        partial(_detect_kernel_2d, cfg=cfg, tc=tile, ns=ns),
+        partial(_detect_kernel_2d, cfg=cfg, tc=tile, ns=ns,
+                unfolded=unfolded),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((ns, tile, 3), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)] + w_specs,

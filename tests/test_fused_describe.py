@@ -315,3 +315,42 @@ def test_transposed_kernel_matches_2d(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(at), np.asarray(a2d),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_detect_unfolded_matches_model_tight(rng):
+    """unfolded=True replays the XLA detector's exact op sequence (raw
+    Dense + flax eval BN, division normalization) instead of BN-folded
+    weights — agreement must be far tighter than the folded serving
+    envelope (folding multiplies W by gamma/sigma before the matmul's
+    operand rounding, which is the envelope's root cause)."""
+    from feat3dnet_tpu.ops.fused_describe import (
+        detector_weights_unfolded, fused_detect_clusters_2d)
+
+    cfg = ModelConfig(num_samples=16, feature_dim=32, base_scale=1.7)
+    model = Feat3DNet(cfg)
+    clusters = rng.randn(32, 16, 3).astype(np.float32) * 1.2
+    clusters[3] += 30.0                       # empty ball -> fallback
+    clusters[5, 8:] = clusters[5, :8]         # duplicates -> ties
+    clusters[9, 10:] += 30.0                  # partial ball
+    keypoints = jnp.zeros((32, 1, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(clusters),
+                           training=False, keypoints=keypoints)
+    variables = jax.tree.map(
+        lambda x: x + 0.05 if x.ndim == 1 else x, variables)
+    want = model.apply(variables, jnp.asarray(clusters), training=False,
+                       keypoints=keypoints)
+    wu = detector_weights_unfolded(variables, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        att, ori = fused_detect_clusters_2d(wu, jnp.asarray(clusters),
+                                            cfg, tile=8, unfolded=True)
+    np.testing.assert_allclose(np.asarray(att),
+                               np.asarray(want.attention[:, 0]),
+                               rtol=1e-6, atol=1e-7)
+    # orientation carries ~5e-7 accumulation-order residue on the 2d
+    # layout (row-major mm vs the model's rank-4 dot) — still ~1000x
+    # inside the folded envelope
+    np.testing.assert_allclose(
+        np.stack([np.cos(np.asarray(ori)), np.sin(np.asarray(ori))], -1),
+        np.stack([np.cos(np.asarray(want.orientation[:, 0])),
+                  np.sin(np.asarray(want.orientation[:, 0]))], -1),
+        rtol=1e-5, atol=1e-6)

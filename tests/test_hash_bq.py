@@ -699,3 +699,49 @@ def test_planes_path_matches_grouped_and_detector(rng):
     # compare orientations as unit vectors (angles wrap at ±pi)
     np.testing.assert_allclose(
         np.asarray(jnp.cos(ori_p - ori_ref[0])), 1.0, atol=1e-6)
+
+
+def test_planes_detector_unfolded_tight(rng):
+    """fused_detect_planes_t(unfolded=True) vs the XLA detector tower on
+    the same neighborhoods: raw Dense + replayed flax BN must agree far
+    inside the folded variant's serving envelope (non-power-of-two radius
+    exercises the division-vs-reciprocal normalization too)."""
+    import jax
+    from feat3dnet_tpu.config import ModelConfig
+    from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.ops.fused_describe import (
+        detector_weights_unfolded, fused_detect_planes_t,
+        transpose_unfolded_detector)
+    from feat3dnet_tpu.ops.hash_grid import (SortedCloud,
+                                             ball_query_grouped_sorted,
+                                             ball_query_planes_sorted,
+                                             build_sorted_cloud_host)
+
+    n, L, tc, ns, r = 768, 64, 32, 8, 1.5
+    pts = _clouds(rng, n, spread=12.0, clusters=4)
+    sc = build_sorted_cloud_host(pts, np.ones(n, bool), cell_size=r,
+                                 block_size=L)
+    scd = SortedCloud(pts4=jnp.asarray(sc.pts4),
+                      blk_bbox=jnp.asarray(sc.blk_bbox), orig_idx=None,
+                      inv_perm=None, block_size=0)
+    centers = scd.pts4[:, :3]
+    grouped, _, _ = ball_query_grouped_sorted(scd, centers, r, ns, tile=tc)
+    planes, cnt_plane = ball_query_planes_sorted(scd, centers, r, ns, tile=tc)
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=ns, feature_dim=16,
+                      base_scale=r, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)),
+                   training=False)
+    v = jax.tree.map(lambda x: x + 0.05 if x.ndim == 1 else x, v)
+    normalized = (grouped - centers[:, None, :]) / r
+    att_ref, ori_ref = model.apply(v, normalized[None], training=False,
+                                   method=Feat3DNet.detect_clusters)
+    wt = transpose_unfolded_detector(detector_weights_unfolded(v, cfg))
+    att_p, ori_p = fused_detect_planes_t(wt, planes, cnt_plane, centers,
+                                         cfg, unfolded=True)
+    np.testing.assert_allclose(np.asarray(att_p), np.asarray(att_ref[0]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(jnp.cos(ori_p - ori_ref[0])), 1.0, atol=1e-9)
