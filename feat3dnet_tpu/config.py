@@ -161,14 +161,24 @@ class InferenceConfig:
     # available for sparse workloads where the hit fraction is tiny.
     use_csr_kernels: bool = False
     # Run the extraction's tower passes through the fused Pallas serving
-    # kernels: the attention pass as the detector-only kernel
-    # (fused_detect_clusters_2d — the chunked XLA path materializes every
-    # (chunk, ns, C) inter-layer activation in HBM, ~50 GB at a 131k
-    # bucket, where the kernel streams 12 B/cluster out) and the
-    # descriptor pass at the NMS keypoints as the whole-forward kernel
-    # (fused_describe_clusters_2d). OPT-IN because both differ from the
-    # XLA path in matmul rounding (serving envelope, cosine >= 0.9999) —
-    # the default stays bit-compatible with the dense reference pipeline.
+    # kernels: the attention pass as the detector-only kernel (lane-dense
+    # planes path / fused_detect_clusters_2d — the chunked XLA path
+    # materializes every (chunk, ns, C) inter-layer activation in HBM,
+    # ~50 GB at a 131k bucket, where the kernel streams 12 B/cluster out)
+    # and the descriptor pass at the NMS keypoints as the whole-forward
+    # kernel (fused_describe_clusters_2d).
+    #
+    # ACCURACY (r5, measured on chip against a float64 ground truth on
+    # real oxford neighborhoods): the unfolded-BN detect kernels agree
+    # with the HIGHEST-precision XLA detector to relmax 2.4e-7 and with
+    # float64 truth to 4.8e-5, while the DEFAULT XLA towers round 2.3e-3
+    # from truth (single-pass-bf16 matmul operands). The ~0.98 keypoint
+    # overlap vs the default path is therefore the DEFAULT PATH'S rounding
+    # — the fused detector is the more accurate (and most TF1-faithful)
+    # attention pass available. Kept OPT-IN anyway: the default preserves
+    # the framework's bit-equality contracts (hashed == dense extract,
+    # batch == single-cloud), and the speed gap under the current compile
+    # service is only +5 % at 120k / neutral below (BENCHMARKS.md).
     use_fused_detector: bool = False
 
 
