@@ -58,6 +58,13 @@ wu = detector_weights_unfolded(v, cfg)
 att_f, _ = fused_detect_clusters_2d(wu, jnp.asarray(clusters), cfg,
                                     unfolded=True)
 att_f = np.asarray(att_f)
+# XLA-DEFAULT emulation: explicit bf16 operand casts, f32 accumulation —
+# the same products the XLA default dot computes. If this is bit-equal to
+# xla_def, the planes detector can replace the chunked XLA detector in
+# the DEFAULT extract path without breaking any bit contract.
+att_b, _ = fused_detect_clusters_2d(wu, jnp.asarray(clusters), cfg,
+                                    unfolded=True, bf16_operands=True)
+att_b = np.asarray(att_b)
 
 # float64 truth: repeat-padded neighborhoods -> pool over ALL slots
 p = jax.tree.map(lambda x: np.asarray(x, np.float64), v["params"]["detection"])
@@ -90,3 +97,5 @@ print("relmax vs f64 truth: xla_def %.2e  xla_hi %.2e  fused_unf %.2e"
 print("relmax xla_hi vs fused_unf: %.2e" % relmax(att_f, att_hi))
 print("relmax xla_def vs fused_unf: %.2e" % relmax(att_f, att_def))
 print("relmax xla_def vs xla_hi : %.2e" % relmax(att_def, att_hi))
+print("relmax xla_def vs fused_bf16ops: %.2e  bit_equal=%s"
+      % (relmax(att_b, att_def), bool(np.array_equal(att_b, att_def))))

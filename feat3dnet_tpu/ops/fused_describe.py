@@ -821,6 +821,49 @@ def pack_clusters_lanes_jnp(clusters: Array) -> Array:
     return out.reshape(ns * 8, b)
 
 
+def pack_planes_keypoints_t(planes, cnt_plane: Array, kp_s: Array,
+                            centers_kp: Array, ns: int, tc: int) -> Array:
+    """Keypoint clusters straight from the merge kernel's lane-dense planes
+    (ops/hash_grid.ball_query_planes_sorted) into the transposed serving
+    kernel's packed layout — no (K, ns, 3/4) materialization anywhere.
+
+    planes = (topx, topy, topz[, topk]) each (tiles·ns, tc) with rows =
+    slots and lanes = tile-padded sorted centers; kp_s (K,) int32 =
+    keypoint indices in the SORTED center domain; centers_kp (K, 3) their
+    coordinates. Returns (ns·8, K) float32 origin-centered offsets with
+    the reference repeat-pad semantics (slot >= cnt copies slot 0 —
+    tf_grouping_g.cu:27-35; empty balls are impossible for keypoints since
+    every cloud point's ball contains itself), ready for
+    fused_describe_clusters_t. Selection content is bit-identical to the
+    (K, ns, 3) gather path: this is pure data movement, and every
+    intermediate keeps lanes >= K (the r4 roofline measured the 3-wide
+    lane dim at 42x padded HBM traffic)."""
+    tiles = planes[0].shape[0] // ns
+
+    def slot_major(p):
+        # (tiles·ns, tc) -> (ns, tiles·tc): row s, column = sorted center
+        return jnp.swapaxes(p.reshape(tiles, ns, tc), 0, 1).reshape(ns, -1)
+
+    gx = slot_major(planes[0])[:, kp_s]                       # (ns, K)
+    gy = slot_major(planes[1])[:, kp_s]
+    gz = slot_major(planes[2])[:, kp_s]
+    cnt_kp = jnp.minimum(
+        cnt_plane.reshape(tiles, 8, tc)[:, 0].reshape(-1)[kp_s],
+        jnp.float32(ns))                                      # (K,)
+    slot = jnp.arange(ns, dtype=jnp.float32)
+    filled = slot[:, None] < cnt_kp[None, :]                  # (ns, K)
+
+    def fin(g, c):
+        return jnp.where(filled, g, g[0:1, :]) - c[None, :]
+
+    ox = fin(gx, centers_kp[:, 0])
+    oy = fin(gy, centers_kp[:, 1])
+    oz = fin(gz, centers_kp[:, 2])
+    z = jnp.zeros_like(ox)
+    return jnp.stack([ox, oy, oz, z, z, z, z, z], axis=1).reshape(
+        8 * ns, -1)
+
+
 def transpose_folded_weights(weights: List[Array]) -> List[Array]:
     """folded_weights() list -> the transposed-kernel layout: kernels
     (Cin, Cout) -> (Cout, Cin) with K=3 input layers zero-padded to K=8
@@ -938,10 +981,84 @@ def _kernel_t(x_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
                                    axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "tile", "bf16_act", "interpret"))
+def _ablate_kernel_t(x_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
+                     ablate: str):
+    """BENCH-ONLY ablation bodies for the TRANSPOSED serving kernel's time
+    decomposition (bench.py pct_matmul_floor). Outputs are NOT descriptors.
+
+    ablate='stream': read the packed tile, write the outputs — the DMA +
+      sequencing floor of the _t layout.
+    ablate='matmul': every matmul of _kernel_t at its exact operand shapes
+      and count (ns per-slot detector chains, ns per-slot descriptor
+      chains, ns conv_mid merges, heads, conv_post), with the VPU stream
+      removed: no membership chain, no relu, no masks, no max pools (slot
+      pools become running adds — one VPU add per slot, the cheapest op
+      that keeps every chain live), no rotation, no softplus/normalize.
+    """
+    weights = refs[:-2]
+    desc_ref, att_ref = refs[-2], refs[-1]
+
+    if ablate == "stream":
+        x = x_ref[...]
+        desc_ref[...] = jnp.broadcast_to(x[0:1, :], (cfg.feature_dim, tc))
+        att_ref[...] = jnp.broadcast_to(x[1:2, :], (8, tc))
+        return
+
+    assert ablate == "matmul"
+    widx = 0
+
+    def next_w():
+        nonlocal widx
+        k, b = weights[widx][...], weights[widx + 1][...]
+        widx += 2
+        return k, b
+
+    def mm(k, a):
+        return jnp.dot(k, a, preferred_element_type=jnp.float32)
+
+    xs = [x_ref[8 * s:8 * s + 8, :] for s in range(ns)]
+    det_w = [next_w() for _ in range(len(cfg.detector_mlp))]
+    pool = None
+    for s in range(ns):
+        h = xs[s]
+        for k, b in det_w:
+            h = mm(k, h) + b
+        pool = h if pool is None else pool + h
+    g = pool
+    for _ in range(len(cfg.detector_mlp2)):
+        k, b = next_w()
+        g = mm(k, g) + b
+    ka, ba = next_w()
+    att = mm(ka, g) + ba                                      # (1, tc)
+    ko, bo = next_w()
+    ori = mm(ko, g) + bo                                      # (2, tc)
+
+    desc_w = [next_w() for _ in range(len(cfg.descriptor_mlp))]
+    km, bm = next_w()
+    kp, bp = next_w()
+    d_slots, dpool = [], None
+    for s in range(ns):
+        h = xs[s]
+        for k, b in desc_w:
+            h = mm(k, h) + b
+        d_slots.append(h)
+        dpool = h if dpool is None else dpool + h
+    m = None
+    for s in range(ns):
+        y = mm(km, jnp.concatenate([d_slots[s], dpool], axis=0)) + bm
+        m = y if m is None else m + y
+    out = mm(kp, m) + bp
+    desc_ref[...] = out
+    att_ref[...] = jnp.concatenate(
+        [att + ori[0:1, :] * 1e-30, jnp.zeros((7, tc), jnp.float32)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "tile", "bf16_act", "ablate",
+                                   "interpret"))
 def fused_describe_clusters_t(weights_t: List[Array], clusters_p: Array,
                               cfg: ModelConfig, tile: int = 256,
                               bf16_act: bool = False,
+                              ablate: Optional[str] = None,
                               interpret: Optional[bool] = None
                               ) -> Tuple[Array, Array]:
     """Lane-dense transposed serving kernel: (ns·8, B) packed clusters
@@ -965,9 +1082,15 @@ def fused_describe_clusters_t(weights_t: List[Array], clusters_p: Array,
     padded = jnp.pad(clusters_p.astype(jnp.float32), ((0, 0), (0, pad)))
     n_tiles = (b + pad) // tile
 
+    if ablate is not None:
+        body = partial(_ablate_kernel_t, cfg=cfg, tc=tile, ns=ns,
+                       ablate=ablate)
+    else:
+        body = partial(_kernel_t, cfg=cfg, tc=tile, ns=ns,
+                       bf16_act=bf16_act)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights_t]
     desc, att = pl.pallas_call(
-        partial(_kernel_t, cfg=cfg, tc=tile, ns=ns, bf16_act=bf16_act),
+        body,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((8 * ns, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM)] + w_specs,
@@ -990,7 +1113,8 @@ def fused_describe_clusters_t(weights_t: List[Array], clusters_p: Array,
 
 def _detect_kernel_planes(px_ref, py_ref, pz_ref, cnt_ref, ctr_ref, *refs,
                           cfg: ModelConfig, tc: int, ns: int,
-                          unfolded: bool = False):
+                          unfolded: bool = False,
+                          bf16_operands: bool = False):
     """Detector tower directly on the merge kernel's lane-dense planes
     (ops/hash_grid.ball_query_planes_sorted): rows = slots, lanes =
     centers. Applies the reference repeat-pad semantics as slot-count
@@ -1020,11 +1144,16 @@ def _detect_kernel_planes(px_ref, py_ref, pz_ref, cnt_ref, ctr_ref, *refs,
         return mu, mul, beta
 
     def mm(k, a):
-        # unfolded = the XLA-parity mode: Mosaic's DEFAULT dot is a
-        # single bf16 pass while the XLA towers' f32 DEFAULT is
-        # multi-pass (measured on chip: DEFAULT-vs-DEFAULT still differs
-        # at ~bf16 epsilon, 2.2e-3 relmax, with folding already removed);
-        # HIGHEST (f32-exact passes) closes it
+        # Measured on chip (probe_detector_truth): Mosaic's f32 dot is
+        # exact (== HIGHEST) while the XLA towers' f32 DEFAULT rounds
+        # operands to bf16 in a single pass (2.3e-3 from truth). So:
+        #   unfolded + HIGHEST       == the HIGHEST-precision XLA tower
+        #   unfolded + bf16_operands == emulate the XLA DEFAULT tower
+        #     (explicit bf16 operand casts, f32 accumulation — the same
+        #     products XLA's default dot computes)
+        if bf16_operands:
+            return jnp.dot(k.astype(jnp.bfloat16), a.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
         return jnp.dot(k, a, preferred_element_type=jnp.float32,
                        precision=(jax.lax.Precision.HIGHEST if unfolded
                                   else None))
@@ -1091,10 +1220,12 @@ def _detect_kernel_planes(px_ref, py_ref, pz_ref, cnt_ref, ctr_ref, *refs,
         [att, ori, jnp.zeros((5, tc), jnp.float32)], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "unfolded", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "unfolded", "bf16_operands",
+                                   "interpret"))
 def fused_detect_planes_t(weights_t: List[Array], planes, cnt_plane: Array,
                           centers: Array, cfg: ModelConfig,
                           unfolded: bool = False,
+                          bf16_operands: bool = False,
                           interpret: Optional[bool] = None
                           ) -> Tuple[Array, Array]:
     """Detector pass directly on lane-dense merge planes: (topx, topy,
@@ -1131,7 +1262,7 @@ def fused_detect_planes_t(weights_t: List[Array], planes, cnt_plane: Array,
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in det_w]
     out = pl.pallas_call(
         partial(_detect_kernel_planes, cfg=cfg, tc=tc, ns=ns,
-                unfolded=unfolded),
+                unfolded=unfolded, bf16_operands=bf16_operands),
         grid=(tiles,),
         in_specs=[pl.BlockSpec((ns, tc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 3
@@ -1153,7 +1284,8 @@ def fused_detect_planes_t(weights_t: List[Array], planes, cnt_plane: Array,
 
 
 def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
-                      unfolded: bool = False):
+                      unfolded: bool = False,
+                      bf16_operands: bool = False):
     """Detector-only slot-major kernel: membership chain + detector tower
     + attention/orientation heads of `_kernel_2d`, with the descriptor
     tower dropped. Output is ROW-form — rows 0/1/2 of each (8, tc) block
@@ -1186,7 +1318,10 @@ def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
         return jnp.dot(a, k, preferred_element_type=jnp.float32)
 
     def mm_hi(a, k):
-        # XLA-parity mode: see _detect_kernel_planes.mm
+        # XLA-parity modes: see _detect_kernel_planes.mm
+        if bf16_operands:
+            return jnp.dot(a.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
         return jnp.dot(a, k, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
 
@@ -1208,10 +1343,12 @@ def _detect_kernel_2d(flat_ref, *refs, cfg: ModelConfig, tc: int, ns: int,
         [rows, jnp.zeros((5, tc), jnp.float32)], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "tile", "unfolded", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "tile", "unfolded",
+                                   "bf16_operands", "interpret"))
 def fused_detect_clusters_2d(weights: List[Array], clusters: Array,
                              cfg: ModelConfig, tile: int = 256,
                              unfolded: bool = False,
+                             bf16_operands: bool = False,
                              interpret: Optional[bool] = None
                              ) -> Tuple[Array, Array]:
     """(B, nsample, 3) origin-centered clusters -> (attention (B,),
@@ -1244,7 +1381,7 @@ def fused_detect_clusters_2d(weights: List[Array], clusters: Array,
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in det_w]
     out = pl.pallas_call(
         partial(_detect_kernel_2d, cfg=cfg, tc=tile, ns=ns,
-                unfolded=unfolded),
+                unfolded=unfolded, bf16_operands=bf16_operands),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((ns, tile, 3), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)] + w_specs,
