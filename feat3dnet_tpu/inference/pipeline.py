@@ -425,6 +425,10 @@ class InferencePipeline:
                           # 0 = the pre-r4 fused path (epilogue + rank-3
                           # fused_detect_clusters_2d); read at build time
                           and os.environ.get("F3D_PLANES", "1") != "0")
+            # r5 descriptor tail A/B (benchmarks/probe_planes_desc_ab):
+            # 0 = the r4 tail (unplane row-gather -> (K, ns, 3) ->
+            # fused_describe_clusters_2d); read at build time
+            use_planes_desc = os.environ.get("F3D_PLANES_DESC", "1") != "0"
 
             @jax.jit
             def impl(variables, packed):
@@ -507,28 +511,48 @@ class InferencePipeline:
                 # inv_perm maps ORIGINAL index -> sorted row (cloud above is
                 # pts4[inv_perm]), so it converts kp_idx directly.
                 kp_s = inv_perm[kp_idx[0]]                   # sorted-domain idx
-                if use_planes:
-                    # gather the keypoints' clusters from single un-
-                    # transposed planes (64-lane dense rows — never the
-                    # 32×-padded (M, ns, 4) stack) + reference repeat-pad.
-                    # Empty balls are impossible for real keypoints (every
-                    # cloud point's ball contains itself).
-                    gx = unplane(planes[0], ns, nb)[kp_s]    # (K, ns)
-                    gy = unplane(planes[1], ns, nb)[kp_s]
-                    gz = unplane(planes[2], ns, nb)[kp_s]
-                    cnt_kp = jnp.minimum(
-                        planes_cnt_rows(cnt_plane, nb, tc)[kp_s],
-                        jnp.float32(ns))
-                    slot = jnp.arange(ns, dtype=jnp.float32)
-                    filled = slot[None, :] < cnt_kp[:, None]
-                    gath = jnp.stack([gx, gy, gz], axis=-1)  # (K, ns, 3)
-                    clusters_kp = jnp.where(filled[..., None], gath,
-                                            gath[:, 0:1, :])
-                    offs_kp = clusters_kp - centers_sorted[kp_s][:, None, :]
+                if use_planes and use_planes_desc:
+                    # r5: descriptor ALSO consumes the lane-dense planes —
+                    # keypoint clusters gathered straight into the
+                    # transposed serving kernel's (ns·8, K) layout, so the
+                    # whole fused extract never materializes an
+                    # (M/K, ns, 3) array (42× lane-padded HBM traffic).
+                    from feat3dnet_tpu.ops.fused_describe import (
+                        folded_weights, fused_describe_clusters_t,
+                        pack_planes_keypoints_t, transpose_folded_weights)
+
+                    clusters_p = pack_planes_keypoints_t(
+                        planes, cnt_plane, kp_s, centers_sorted[kp_s],
+                        ns, tc)
+                    feats, _ = fused_describe_clusters_t(
+                        transpose_folded_weights(
+                            folded_weights(variables, self.mcfg)),
+                        clusters_p, self.mcfg)
                 else:
-                    offs_kp = grouped[kp_s] - centers_sorted[kp_s][:, None, :]
-                feats = self._describe_at_keypoints(variables, offs_kp,
-                                                    ori_s[kp_s])
+                    if use_planes:
+                        # A/B fallback (F3D_PLANES_DESC=0): gather from
+                        # single un-transposed planes (64-lane dense rows)
+                        # + reference repeat-pad. Empty balls are
+                        # impossible for real keypoints (every cloud
+                        # point's ball contains itself).
+                        gx = unplane(planes[0], ns, nb)[kp_s]   # (K, ns)
+                        gy = unplane(planes[1], ns, nb)[kp_s]
+                        gz = unplane(planes[2], ns, nb)[kp_s]
+                        cnt_kp = jnp.minimum(
+                            planes_cnt_rows(cnt_plane, nb, tc)[kp_s],
+                            jnp.float32(ns))
+                        slot = jnp.arange(ns, dtype=jnp.float32)
+                        filled = slot[None, :] < cnt_kp[:, None]
+                        gath = jnp.stack([gx, gy, gz], axis=-1)  # (K, ns, 3)
+                        clusters_kp = jnp.where(filled[..., None], gath,
+                                                gath[:, 0:1, :])
+                        offs_kp = (clusters_kp
+                                   - centers_sorted[kp_s][:, None, :])
+                    else:
+                        offs_kp = (grouped[kp_s]
+                                   - centers_sorted[kp_s][:, None, :])
+                    feats = self._describe_at_keypoints(variables, offs_kp,
+                                                        ori_s[kp_s])
                 # one flat f32 download buffer — see _host_sort_packed
                 return jnp.concatenate([
                     kp[0].ravel(), feats.ravel(), kp_att[0].ravel(),

@@ -701,6 +701,75 @@ def test_planes_path_matches_grouped_and_detector(rng):
         np.asarray(jnp.cos(ori_p - ori_ref[0])), 1.0, atol=1e-6)
 
 
+def test_pack_planes_keypoints_t_bit_exact(rng):
+    """r5 planes-consuming descriptor tail: gathering keypoint clusters
+    straight from the lane-dense planes into the transposed kernel's
+    (ns·8, K) layout must be BIT-identical to the rank-3 route (unplane ->
+    repeat-pad -> subtract center -> pack_clusters_lanes) — it is pure
+    data movement."""
+    from feat3dnet_tpu.ops.fused_describe import (pack_clusters_lanes_jnp,
+                                                  pack_planes_keypoints_t)
+    from feat3dnet_tpu.ops.hash_grid import (SortedCloud,
+                                             ball_query_planes_sorted,
+                                             build_sorted_cloud_host,
+                                             planes_cnt_rows, unplane)
+
+    n, L, tc, ns, r = 768, 64, 32, 8, 1.5
+    pts = _clouds(rng, n, spread=12.0, clusters=4)
+    sc = build_sorted_cloud_host(pts, np.ones(n, bool), cell_size=r,
+                                 block_size=L)
+    scd = SortedCloud(pts4=jnp.asarray(sc.pts4),
+                      blk_bbox=jnp.asarray(sc.blk_bbox), orig_idx=None,
+                      inv_perm=None, block_size=0)
+    centers = scd.pts4[:, :3]
+    planes, cnt_plane = ball_query_planes_sorted(scd, centers, r, ns, tile=tc)
+
+    kp_s = jnp.asarray(np.concatenate([
+        rng.choice(n, 60, replace=False), [0, 0, n - 1, n - 1]]).astype(np.int32))
+
+    # rank-3 reference route (the r4 tail)
+    gx = unplane(planes[0], ns, n)[kp_s]
+    gy = unplane(planes[1], ns, n)[kp_s]
+    gz = unplane(planes[2], ns, n)[kp_s]
+    cnt_kp = jnp.minimum(planes_cnt_rows(cnt_plane, n, tc)[kp_s],
+                         jnp.float32(ns))
+    slot = jnp.arange(ns, dtype=jnp.float32)
+    filled = slot[None, :] < cnt_kp[:, None]
+    gath = jnp.stack([gx, gy, gz], axis=-1)
+    clusters_kp = jnp.where(filled[..., None], gath, gath[:, 0:1, :])
+    offs = clusters_kp - centers[kp_s][:, None, :]
+    want = pack_clusters_lanes_jnp(offs)
+
+    got = pack_planes_keypoints_t(planes, cnt_plane, kp_s, centers[kp_s],
+                                  ns, tc)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ablate_kernel_t_shapes(rng):
+    """Bench-only _t ablation bodies compile (interpret) and keep the
+    output contract shapes."""
+    from feat3dnet_tpu.config import ModelConfig
+    from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.ops.fused_describe import (
+        folded_weights, fused_describe_clusters_t, pack_clusters_lanes,
+        transpose_folded_weights)
+
+    ns = 8
+    cfg = ModelConfig(num_clusters=-1, num_samples=ns, feature_dim=16,
+                      detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)),
+                   training=False)
+    wt = transpose_folded_weights(folded_weights(v, cfg))
+    clusters = rng.randn(12, ns, 3).astype(np.float32)
+    packed = jnp.asarray(pack_clusters_lanes(clusters))
+    for mode in ("stream", "matmul"):
+        d, a = fused_describe_clusters_t(wt, packed, cfg, tile=8,
+                                         ablate=mode)
+        assert d.shape == (12, 16) and a.shape == (12,)
+
+
 def test_planes_detector_unfolded_tight(rng):
     """fused_detect_planes_t(unfolded=True) vs the XLA detector tower on
     the same neighborhoods: raw Dense + replayed flax BN must agree far
