@@ -1,0 +1,166 @@
+"""Inference-knob sweep on the committed scaled-accuracy checkpoint.
+
+The r4 verdict's weakness #2: the learned model scores 64.3 % fig4
+precision@1m vs the handcrafted baseline's 88.5 % on the synthetic
+held-out suite. The committed training metrics say the DESCRIPTOR is not
+the gap (held-out cluster-pair FPR@95 = 0.0, val FPR@95 0.02): the
+learned run produced only ~154 keypoints per cloud (attention NMS +
+min_response_ratio) against the handcrafted run's 1024 FPS keypoints, and
+fig4 precision counts an intersection keypoint as WRONG whenever the
+corresponding keypoint simply was not detected in the other cloud — at
+154 vs 1024 keypoints the learned pipeline answers a strictly harder
+repeatability question, not a descriptor-quality question.
+
+This script re-evaluates the SAME committed 4,480-step checkpoint
+(examples/results/scaled_accuracy/ckpt) on the SAME deterministic
+held-out places (the dataset builder is seeded; no retraining) across
+inference keypoint budgets, running the full fig4 + RANSAC-registration
+protocol per setting. Writes
+examples/results/scaled_accuracy/inference_sweep.json.
+
+    python examples/eval_inference_sweep.py [--test_pairs 24]
+"""
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaled_accuracy_run import (_write6, evaluate_registration,  # noqa: E402
+                                 make_place, se3_view)
+
+
+def _replay_cluster_pairs(rng, places, n_pairs):
+    """Consume exactly the rng draws of scaled_accuracy_run._cluster_pairs
+    without writing any files."""
+    for k in range(n_pairs):
+        label = k % 2
+        pa = rng.randint(len(places))
+        place = places[pa]
+        center = place[rng.randint(place.shape[0])]
+        crop = place[np.linalg.norm(place - center, axis=1) < 4.0] - center
+        se3_view(rng, crop, max_shift=0.2)
+        if label:
+            se3_view(rng, crop, max_shift=0.2)
+        else:
+            pb = (pa + 1 + rng.randint(len(places) - 1)) % len(places)
+            other = places[pb]
+            c2 = other[rng.randint(other.shape[0])]
+            se3_view(rng,
+                     other[np.linalg.norm(other - c2, axis=1) < 4.0] - c2,
+                     max_shift=0.2)
+
+
+def build_test_set(root, test_pairs):
+    """The held-out test set of scaled_accuracy_run.build_dataset (default
+    args), regenerated deterministically: the builder draws 240 places x 4
+    views + 96 val cluster-pairs from RandomState(0), then the test
+    places, then 96 held-out cluster-pairs, and only THEN the test views —
+    this replays every draw in that order (no files written until the test
+    views) and emits the bit-identical test set."""
+    rng = np.random.RandomState(0)
+    places = [make_place(rng) for _ in range(240)]
+    for place in places:
+        for _ in range(4):
+            se3_view(rng, place)
+    _replay_cluster_pairs(rng, places, 96)
+    test_places = [make_place(rng) for _ in range(test_pairs)]
+    _replay_cluster_pairs(rng, test_places, 96)
+    test = os.path.join(root, "test")
+    os.makedirs(test)
+    gt_lines = ["idx1 idx2 t1 t2 t3 q1 q2 q3 q4"]
+    for k, place in enumerate(test_places):
+        v0, _, _ = se3_view(rng, place)
+        v1, theta, t = se3_view(rng, place)
+        c, s = np.cos(theta), np.sin(theta)
+        rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        v1 = v0 @ rz.T + t + rng.randn(*v0.shape).astype(np.float32) * 0.02
+        a, b = 2 * k, 2 * k + 1
+        _write6(os.path.join(test, f"{a}.bin"), v0)
+        _write6(os.path.join(test, f"{b}.bin"), v1)
+        r_inv = rz.T
+        t_gt = -r_inv @ t
+        q = np.array([np.cos(-theta / 2), 0.0, 0.0, np.sin(-theta / 2)])
+        gt_lines.append(
+            f"{a} {b} {t_gt[0]:.6f} {t_gt[1]:.6f} {t_gt[2]:.6f} "
+            f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}")
+    with open(os.path.join(test, "groundtruths.txt"), "w") as f:
+        f.write("\n".join(gt_lines))
+    return test
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--test_pairs", type=int, default=24)
+    p.add_argument("--ckpt", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "results", "scaled_accuracy", "ckpt"))
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "results", "scaled_accuracy", "inference_sweep.json"))
+    args = p.parse_args()
+
+    import jax
+
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig, TrainConfig
+    from feat3dnet_tpu.eval.fig4 import evaluate_dataset
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+    from feat3dnet_tpu.train.trainer import init_state
+    from feat3dnet_tpu.utils import enable_compilation_cache
+    from feat3dnet_tpu.utils.checkpoint import CheckpointManager
+
+    enable_compilation_cache()
+    root = tempfile.mkdtemp(prefix="f3d_evalsweep_")
+    print("rebuilding held-out test set...", flush=True)
+    test_dir = build_test_set(root, args.test_pairs)
+
+    cfg = ModelConfig(num_clusters=256, num_samples=64)
+    model = Feat3DNet(cfg)
+    state, _ = init_state(model, TrainConfig(batch_size=6, num_points=4096),
+                          cfg, jax.random.PRNGKey(0))
+    state = CheckpointManager(os.path.abspath(args.ckpt)).restore(state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    print(f"restored step {int(state.step)}", flush=True)
+
+    settings = {
+        # the committed run's protocol (ratio gate prunes to ~154 kp)
+        "default": InferenceConfig(),
+        # keypoint budget == the handcrafted baseline's 1024 (no ratio
+        # gate; NMS still picks attention local maxima)
+        "kp1024_ratio0": InferenceConfig(min_response_ratio=0.0),
+        # denser NMS on top of the open budget
+        "kp1024_ratio0_nms025": InferenceConfig(min_response_ratio=0.0,
+                                                nms_radius=0.25),
+    }
+    results = {"final_step": int(state.step)}
+    for name, icfg in settings.items():
+        pipe = InferencePipeline(model, variables, cfg, icfg)
+        result_dir = os.path.join(root, f"results_{name}")
+        pipe.process_directory(test_dir, result_dir, data_dim=6)
+        stats, agg = evaluate_dataset(test_dir, result_dir,
+                                      log=lambda *a, **k: None)
+        entry = {"fig4": {k: float(v) for k, v in agg.items()},
+                 "keypoints_per_cloud": float(np.mean([
+                     np.fromfile(os.path.join(result_dir, f), np.float32)
+                     .reshape(-1, 35).shape[0]
+                     for f in os.listdir(result_dir)]))}
+        evaluate_registration(pipe, test_dir, entry)
+        results[name] = entry
+        print(name, json.dumps(entry), flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
