@@ -138,9 +138,22 @@ def main():
         # denser NMS on top of the open budget
         "kp1024_ratio0_nms025": InferenceConfig(min_response_ratio=0.0,
                                                 nms_radius=0.25),
+        # NMS-density fine sweep (r5: 0.25 gave 84.8 % @ 874 kp — find the
+        # budget/repeatability optimum and whether the default ratio gate
+        # helps registration at dense budgets)
+        "kp1024_ratio0_nms02": InferenceConfig(min_response_ratio=0.0,
+                                               nms_radius=0.2),
+        "kp1024_ratio0_nms015": InferenceConfig(min_response_ratio=0.0,
+                                                nms_radius=0.15),
+        "kp1024_ratio001_nms025": InferenceConfig(nms_radius=0.25),
     }
     results = {"final_step": int(state.step)}
+    if os.path.exists(args.out):        # merge: only compute missing
+        results.update(json.load(open(args.out)))
     for name, icfg in settings.items():
+        if name in results:
+            print(f"{name}: already recorded, skipping", flush=True)
+            continue
         pipe = InferencePipeline(model, variables, cfg, icfg)
         result_dir = os.path.join(root, f"results_{name}")
         pipe.process_directory(test_dir, result_dir, data_dim=6)
@@ -154,6 +167,11 @@ def main():
         evaluate_registration(pipe, test_dir, entry)
         results[name] = entry
         print(name, json.dumps(entry), flush=True)
+        # write after every setting: a ~10-min/setting sweep must not lose
+        # finished measurements to a crash in a later setting (r5 lost two)
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
