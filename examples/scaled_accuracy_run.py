@@ -221,6 +221,9 @@ def main():
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=6)
     p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine"])
+    p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--keep_dir", default=None)
     p.add_argument("--results_dir",
                    default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -249,6 +252,15 @@ def main():
         "--summary_every_n_steps", "20",
         "--checkpoint_every_n_steps", "500",
     ]
+    if args.lr_schedule != "constant":
+        # ONE global schedule across both stages: same combined-horizon
+        # decay_steps in each stage; stage 2 resumes the schedule count
+        # from the restored opt_state (see cli/train --lr_schedule help)
+        spe = args.places * args.views // args.batch_size
+        total = spe * (args.stage1_epochs + args.stage2_epochs)
+        common += ["--lr_schedule", args.lr_schedule,
+                   "--warmup_steps", str(args.warmup_steps),
+                   "--decay_steps", str(total)]
     s1 = os.path.join(root, "run_stage1")
     s2 = os.path.join(root, "run_stage2")
     # stage 1: descriptor-only, rotation-free augmentations (train.sh:8-13)
@@ -296,6 +308,27 @@ def main():
     stats, agg = evaluate_dataset(test_dir, result_dir)
     summary["fig4"] = {k: float(v) for k, v in agg.items()}
     evaluate_registration(pipe, test_dir, summary)
+
+    # matched-budget protocol (the handcrafted baseline serves its FULL
+    # 1024-keypoint budget; the default ratio gate prunes to ~150 — the
+    # r5 sweep showed the precision gap at matched budgets is mostly this
+    # keypoint-budget accounting, examples/eval_inference_sweep.py)
+    summary["matched_budget"] = {}
+    for name, icfg in {
+        "kp1024_ratio0_nms02": InferenceConfig(min_response_ratio=0.0,
+                                               nms_radius=0.2),
+        "kp1024_ratio0_nms015": InferenceConfig(min_response_ratio=0.0,
+                                                nms_radius=0.15),
+    }.items():
+        mpipe = InferencePipeline(model, variables, cfg, icfg)
+        mdir = os.path.join(root, f"test_results_{name}")
+        mpipe.process_directory(test_dir, mdir, data_dim=6)
+        _, magg = evaluate_dataset(test_dir, mdir,
+                                   log=lambda *a, **k: None)
+        entry = {"fig4": {k: float(v) for k, v in magg.items()}}
+        evaluate_registration(mpipe, test_dir, entry)
+        summary["matched_budget"][name] = entry
+        print(name, json.dumps(entry), flush=True)
 
     os.makedirs(args.results_dir, exist_ok=True)
     for stage, d in (("stage1", s1), ("stage2", s2)):

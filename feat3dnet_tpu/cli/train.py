@@ -43,6 +43,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_clusters", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=6)
     p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine"],
+                   help="'cosine': linear warmup then cosine decay to 0 "
+                        "(framework extension — the reference trains at a "
+                        "fixed lr). The schedule count lives in opt_state "
+                        "and restores with the checkpoint, so a two-stage "
+                        "recipe continues ONE global schedule when both "
+                        "stages pass the same --decay_steps; both stages "
+                        "must use the same --lr_schedule (the opt_state "
+                        "structure differs between modes)")
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--decay_steps", type=int, default=0,
+                   help="cosine horizon in optimizer steps; 0 = auto "
+                        "(num_epochs x steps-per-epoch of THIS run)")
     p.add_argument("--augmentation", type=str, nargs="+",
                    default=["Jitter", "RotateSmall", "Shift", "Rotate1D"],
                    choices=["Jitter", "RotateSmall", "Rotate1D", "Scale", "Shift"])
@@ -138,6 +152,8 @@ def main(argv=None):
     tcfg = TrainConfig(
         batch_size=args.batch_size, num_points=args.num_points,
         learning_rate=args.learning_rate, num_epochs=args.num_epochs,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps,
         augmentations=tuple(args.augmentation),
         freeze_scopes=tuple(args.freeze_scopes) if args.freeze_scopes else None,
         seed=args.seed)
@@ -147,7 +163,19 @@ def main(argv=None):
     # model must reduce its BN moments over the mesh axis itself
     dp_shardmap = args.fused_towers and args.num_devices > 1
     model = model_cls(mcfg, bn_axis_name="data") if dp_shardmap else model_cls(mcfg)
-    tx = make_optimizer(tcfg.learning_rate, tcfg.freeze_scopes)
+    decay_steps = tcfg.decay_steps
+    if tcfg.lr_schedule == "cosine" and decay_steps <= 0:
+        # auto horizon: this run's planned optimizer steps (metadata-only
+        # dataset load; the epoch iterator re-reads clouds lazily later)
+        n_meta = TripletDataset(
+            os.path.join(args.data_dir, "train/train.txt"),
+            num_cols=args.data_dim, seed=args.seed).size
+        decay_steps = max(1, (n_meta // tcfg.batch_size) * tcfg.num_epochs)
+        logger.info("cosine lr: auto decay_steps=%d", decay_steps)
+    tx = make_optimizer(tcfg.learning_rate, tcfg.freeze_scopes,
+                        lr_schedule=tcfg.lr_schedule,
+                        warmup_steps=tcfg.warmup_steps,
+                        decay_steps=decay_steps)
     state, _ = init_state(model, tcfg, mcfg, jax.random.PRNGKey(args.seed), tx=tx)
 
     ckpt = CheckpointManager(os.path.join(args.log_dir, "ckpt"))

@@ -101,6 +101,13 @@ class TrainConfig:
     batch_size: int = 6               # triplets per step (reference BATCH_SIZE)
     num_points: int = 4096            # points per cloud after crop+resample
     learning_rate: float = 1e-5       # reference AdamOptimizer default (feat3dnet.py:363)
+    # lr schedule (framework extension; the reference trains at a fixed lr).
+    # 'constant' keeps the reference semantics AND the float-lr opt_state
+    # structure (old checkpoints restore unchanged); 'cosine' = linear
+    # warmup then cosine decay over decay_steps (see train.make_optimizer).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: int = 0
     num_epochs: int = 1000
     augmentations: Sequence[str] = ("Jitter", "RotateSmall", "Shift", "Rotate1D")
     upright_axis: int = 2             # z-up (reference UPRIGHT_AXIS)

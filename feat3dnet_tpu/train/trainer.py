@@ -43,13 +43,39 @@ class TrainState(flax.struct.PyTreeNode):
 def make_optimizer(
     learning_rate: float = 1e-5,
     freeze_scopes: Optional[Sequence[str]] = None,
+    lr_schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
+    end_lr_ratio: float = 0.0,
 ) -> optax.GradientTransformation:
-    """Adam with optional top-level-scope freezing.
+    """Adam with optional top-level-scope freezing and lr schedule.
 
     freeze_scopes entries match top-level param collections ('detection',
     'description'), mirroring the reference's tf scope prefixes.
+
+    lr_schedule: 'constant' (the reference's fixed Adam lr,
+      feat3dnet.py:363 — keeps the float-lr opt_state structure, so
+      pre-existing checkpoints restore unchanged) or 'cosine'
+      (linear warmup over `warmup_steps` to `learning_rate`, cosine decay
+      to `learning_rate * end_lr_ratio` at `decay_steps`). The schedule
+      counts OPTIMIZER updates and the count lives in opt_state, so
+      resumed/two-stage runs continue the same global schedule when both
+      stages pass the same combined-horizon decay_steps (the schedule
+      state restores with the checkpoint; structure differs from
+      'constant', so both stages of a recipe must use the same mode).
     """
-    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if lr_schedule == "cosine":
+        if decay_steps <= 0:
+            raise ValueError("cosine lr_schedule needs decay_steps > 0")
+        lr: Any = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps > 0 else learning_rate,
+            peak_value=learning_rate, warmup_steps=warmup_steps,
+            decay_steps=decay_steps, end_value=learning_rate * end_lr_ratio)
+    elif lr_schedule == "constant":
+        lr = learning_rate
+    else:
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+    tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     if not freeze_scopes:
         return tx
 

@@ -54,6 +54,48 @@ def test_freeze_scopes(rng):
     assert any(not np.allclose(b, np.asarray(a)) for b, a in zip(before_desc, after_desc))
 
 
+def test_cosine_lr_schedule(rng):
+    """cosine make_optimizer: warmup ramps the update size up, the decay
+    tail shrinks it to ~0 at the horizon; freeze composes; the schedule
+    count restores with opt_state (two-stage continuation contract)."""
+    import optax
+
+    model = Feat3DNet(CFG)
+    tx = make_optimizer(1e-3, lr_schedule="cosine", warmup_steps=4,
+                        decay_steps=16)
+    state, _ = init_state(model, TCFG, CFG, jax.random.PRNGKey(0), tx=tx)
+    step = jax.jit(make_train_step(model, tx, 1.0, CFG.attention))
+    batch = _triplet_batch(rng)
+
+    def norm_delta(s0, s1):
+        return float(optax.global_norm(jax.tree.map(
+            lambda a, b: a - b, s0.params, s1.params)))
+
+    deltas = []
+    for _ in range(16):
+        prev = state
+        state, _ = step(state, *batch)
+        deltas.append(norm_delta(prev, state))
+    assert deltas[0] < deltas[3]          # warmup ramps up
+    assert deltas[-1] < 0.25 * max(deltas)  # decayed tail
+    # the schedule count is part of opt_state (it checkpoints/restores)
+    counts = [int(np.asarray(leaf)) for path, leaf in
+              jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+              if np.asarray(leaf).ndim == 0 and
+              np.asarray(leaf).dtype == np.int32]
+    assert 16 in counts, counts
+    # freeze + cosine compose
+    tx2 = make_optimizer(1e-3, freeze_scopes=["detection"],
+                         lr_schedule="cosine", decay_steps=8)
+    s2, _ = init_state(model, TCFG, CFG, jax.random.PRNGKey(0), tx=tx2)
+    step2 = jax.jit(make_train_step(model, tx2, 1.0, CFG.attention))
+    before_det = jax.tree.map(np.asarray, s2.params["detection"])
+    s2, _ = step2(s2, *batch)
+    for b, a in zip(jax.tree.leaves(before_det),
+                    jax.tree.leaves(s2.params["detection"])):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
 def test_stage1_config_noattention_noregress(rng):
     """Stage 1 of train.sh: --noattention --noregress (unweighted loss,
     no orientation canonicalization)."""
