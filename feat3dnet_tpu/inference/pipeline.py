@@ -229,6 +229,31 @@ class InferencePipeline:
             att_s, ori_s = jax.lax.map(one_chunk, starts)
             return att_s.reshape(-1), ori_s.reshape(-1)
 
+        def detector_on_gxyz(variables, gx, gy, gz, centers_sorted):
+            """The chunked XLA detector fed from per-coordinate (M, ns)
+            planes (ops/hash_grid.finish_planes): the same values, chunk
+            boundaries, and model.apply as detector_on_grouped — outputs
+            BIT-identical — but the full (M, ns, 3) grouped tensor (42x
+            lane-padded: 4 GiB physical at 131k, the r4 extract
+            roofline's top memory line) never exists; each lax.map
+            iteration assembles only its own (chunk, ns, 3) slice."""
+            nx = (gx - centers_sorted[:, 0:1]) / r
+            ny = (gy - centers_sorted[:, 1:2]) / r
+            nz = (gz - centers_sorted[:, 2:3]) / r
+
+            def one_chunk(start):
+                g = jnp.stack(
+                    [jax.lax.dynamic_slice_in_dim(a, start, chunk, axis=0)
+                     for a in (nx, ny, nz)], axis=-1)
+                att, ori = self.model.apply(
+                    variables, g[None], training=False,
+                    method=Feat3DNet.detect_clusters)
+                return att[0], ori[0]
+
+            starts = jnp.arange(n_chunks) * chunk
+            att_s, ori_s = jax.lax.map(one_chunk, starts)
+            return att_s.reshape(-1), ori_s.reshape(-1)
+
         def attention_sorted(variables, pts4, blk_bbox):
             sc = SortedCloud(pts4=pts4, blk_bbox=blk_bbox, orig_idx=None,
                              inv_perm=None, block_size=0)
@@ -237,6 +262,7 @@ class InferencePipeline:
             return detector_on_grouped(variables, grouped, centers_sorted)
 
         attention_sorted.detector_on_grouped = detector_on_grouped
+        attention_sorted.detector_on_gxyz = detector_on_gxyz
         return attention_sorted
 
     def _hashed_attention_impl(self, n_bucket: int):
@@ -401,7 +427,7 @@ class InferencePipeline:
                 _FORI_MAX_POINTS_MERGE, SortedCloud, ball_max_csr,
                 ball_max_sorted, ball_query_grouped_csr,
                 ball_query_grouped_sorted, ball_query_planes_sorted,
-                planes_cnt_rows, unplane)
+                finish_planes, planes_cnt_rows, unplane)
             from feat3dnet_tpu.ops.nms import select_keypoints
 
             core = self._hashed_attention_sorted(n_bucket)
@@ -429,6 +455,19 @@ class InferencePipeline:
             # 0 = the r4 tail (unplane row-gather -> (K, ns, 3) ->
             # fused_describe_clusters_2d); read at build time
             use_planes_desc = os.environ.get("F3D_PLANES_DESC", "1") != "0"
+            # r5 DEFAULT-path planes feed: same structural conditions, but
+            # the detector stays the chunked XLA tower, fed per-chunk from
+            # finish_planes' per-coordinate (M, ns) arrays — outputs
+            # BIT-identical to the grouped route (pure data movement +
+            # identical elementwise/matmul graphs), while the 42x
+            # lane-padded (M, ns, 3) grouped tensor never exists. A/B:
+            # F3D_DEFAULT_PLANES=0 restores the grouped route.
+            use_planes_xla = (not icfg.use_fused_detector
+                              and not icfg.use_csr_kernels
+                              and nb <= _FORI_MAX_POINTS_MERGE
+                              and ns % 8 == 0
+                              and os.environ.get("F3D_DEFAULT_PLANES",
+                                                 "1") != "0")
 
             @jax.jit
             def impl(variables, packed):
@@ -458,7 +497,7 @@ class InferencePipeline:
                     sc = SortedCloud(pts4=pts4, blk_bbox=blk_bbox,
                                      orig_idx=None, inv_perm=None,
                                      block_size=0)
-                    if use_planes:
+                    if use_planes or use_planes_xla:
                         planes, cnt_plane = ball_query_planes_sorted(
                             sc, centers_sorted, r, ns, tile=tc)
                     else:
@@ -476,6 +515,11 @@ class InferencePipeline:
                             detector_weights_unfolded(variables, self.mcfg)),
                         planes, cnt_plane, centers_sorted, self.mcfg,
                         unfolded=True)
+                elif use_planes_xla:
+                    gx, gy, gz, _ = finish_planes(planes, cnt_plane,
+                                                  centers_sorted, ns, nb, tc)
+                    att_s, ori_s = core.detector_on_gxyz(
+                        variables, gx, gy, gz, centers_sorted)
                 else:
                     att_s, ori_s = core.detector_on_grouped(
                         variables, grouped, centers_sorted)
@@ -547,6 +591,14 @@ class InferencePipeline:
                         clusters_kp = jnp.where(filled[..., None], gath,
                                                 gath[:, 0:1, :])
                         offs_kp = (clusters_kp
+                                   - centers_sorted[kp_s][:, None, :])
+                    elif use_planes_xla:
+                        # gx/gy/gz are already repeat-padded and
+                        # empty-handled (finish_planes == _finish_grouped
+                        # per coordinate), so the row gather + stack is
+                        # bit-identical to grouped[kp_s]
+                        offs_kp = (jnp.stack([gx[kp_s], gy[kp_s], gz[kp_s]],
+                                             axis=-1)
                                    - centers_sorted[kp_s][:, None, :])
                     else:
                         offs_kp = (grouped[kp_s]

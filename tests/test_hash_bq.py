@@ -745,6 +745,69 @@ def test_pack_planes_keypoints_t_bit_exact(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_finish_planes_bit_exact(rng):
+    """finish_planes must equal _finish_grouped(unplane-stack) per
+    coordinate BIT-exactly — the r5 default extract's bit contract
+    (hashed == dense, batch == single) rests on it."""
+    from feat3dnet_tpu.ops.hash_grid import (SortedCloud, _finish_grouped,
+                                             ball_query_planes_sorted,
+                                             build_sorted_cloud_host,
+                                             finish_planes, planes_cnt_rows,
+                                             unplane)
+
+    n, L, tc, ns, r = 768, 64, 32, 8, 1.5
+    pts = _clouds(rng, n, spread=12.0, clusters=4)
+    sc = build_sorted_cloud_host(pts, np.ones(n, bool), cell_size=r,
+                                 block_size=L)
+    scd = SortedCloud(pts4=jnp.asarray(sc.pts4),
+                      blk_bbox=jnp.asarray(sc.blk_bbox), orig_idx=None,
+                      inv_perm=None, block_size=0)
+    centers = scd.pts4[:, :3]
+    planes, cnt_plane = ball_query_planes_sorted(scd, centers, r, ns, tile=tc)
+
+    top = jnp.stack([unplane(p, ns, n) for p in planes], axis=-1)
+    cnt_rows = planes_cnt_rows(cnt_plane, n, tc)
+    want, _, want_cnt = _finish_grouped(top, cnt_rows, centers, ns)
+
+    gx, gy, gz, cnt = finish_planes(planes, cnt_plane, centers, ns, n, tc)
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(want_cnt))
+    got = jnp.stack([gx, gy, gz], axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_default_planes_extract_bit_equal(rng, monkeypatch):
+    """The r5 default-path planes feed (F3D_DEFAULT_PLANES=1, the default)
+    must reproduce the grouped route's extract BIT-exactly: keypoints,
+    attention, and descriptors — the planes feed is pure data movement
+    into the identical chunked XLA detector and descriptor."""
+    import jax
+    from feat3dnet_tpu.config import InferenceConfig, ModelConfig
+    from feat3dnet_tpu.inference import InferencePipeline
+    from feat3dnet_tpu.models import Feat3DNet
+
+    cfg = ModelConfig(num_clusters=-1, num_samples=8, feature_dim=16,
+                      base_scale=2.0, detector_mlp=(8, 16), detector_mlp2=(8,),
+                      descriptor_mlp=(8, 8))
+    model = Feat3DNet(cfg)
+    v = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 3)),
+                   training=False)
+    pts = np.concatenate([
+        rng.randn(300, 3).astype(np.float32) * 2.0 + off
+        for off in np.array([[0, 0, 0], [8, 0, 0], [0, 9, 0]], np.float32)])
+    icfg = InferenceConfig(keypoint_chunk=256, max_keypoints=64,
+                           nms_radius=1.0, use_hashed_grouping=True)
+
+    monkeypatch.setenv("F3D_DEFAULT_PLANES", "0")
+    res_g = InferencePipeline(model, v, cfg, icfg).extract(pts)
+    monkeypatch.setenv("F3D_DEFAULT_PLANES", "1")
+    res_p = InferencePipeline(model, v, cfg, icfg).extract(pts)
+
+    assert res_g.num_keypoints == res_p.num_keypoints
+    np.testing.assert_array_equal(res_g.keypoints, res_p.keypoints)
+    np.testing.assert_array_equal(res_g.attention, res_p.attention)
+    np.testing.assert_array_equal(res_g.features, res_p.features)
+
+
 def test_ablate_kernel_t_shapes(rng):
     """Bench-only _t ablation bodies compile (interpret) and keep the
     output contract shapes."""
