@@ -336,7 +336,17 @@ def main():
         if os.path.exists(src):
             shutil.copy(src, os.path.join(args.results_dir,
                                           f"metrics_{stage}.jsonl"))
-    with open(os.path.join(args.results_dir, "summary.json"), "w") as f:
+    spath = os.path.join(args.results_dir, "summary.json")
+    if os.path.exists(spath):
+        # keep the handcrafted-baseline section (examples/
+        # handcrafted_baseline.py appends it; the seeded test split is
+        # identical as long as the dataset args are, so it stays valid)
+        prev = json.load(open(spath))
+        if "handcrafted_baseline" in prev and args.places == 240 \
+                and args.views == 4 and args.val_pairs == 96 \
+                and args.test_pairs == 24:
+            summary["handcrafted_baseline"] = prev["handcrafted_baseline"]
+    with open(spath, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
     if not args.keep_dir:
