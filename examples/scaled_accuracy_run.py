@@ -225,6 +225,9 @@ def main():
                    choices=["constant", "cosine"])
     p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--keep_dir", default=None)
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip dataset build + training; evaluate the "
+                        "existing --keep_dir run_stage2 checkpoint")
     p.add_argument("--results_dir",
                    default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                         "results", "scaled_accuracy"))
@@ -235,13 +238,17 @@ def main():
 
     enable_compilation_cache()
     root = args.keep_dir or tempfile.mkdtemp(prefix="f3d_scaled_")
-    rng = np.random.RandomState(0)
-    print("building dataset...", flush=True)
-    build_dataset(root, rng, args.places, args.views, args.val_pairs,
-                  args.test_pairs)
-    print(f"dataset at {root}: {args.places} places x {args.views} views",
-          flush=True)
+    if not args.eval_only:
+        rng = np.random.RandomState(0)
+        print("building dataset...", flush=True)
+        build_dataset(root, rng, args.places, args.views, args.val_pairs,
+                      args.test_pairs)
+        print(f"dataset at {root}: {args.places} places x {args.views} views",
+              flush=True)
 
+    # combined two-stage horizon for the cosine schedule (see below)
+    spe = args.places * args.views // args.batch_size
+    total = spe * (args.stage1_epochs + args.stage2_epochs)
     common = [
         "--data_dir", root, "--num_points", str(args.num_points),
         "--num_clusters", str(args.num_clusters),
@@ -256,23 +263,23 @@ def main():
         # ONE global schedule across both stages: same combined-horizon
         # decay_steps in each stage; stage 2 resumes the schedule count
         # from the restored opt_state (see cli/train --lr_schedule help)
-        spe = args.places * args.views // args.batch_size
-        total = spe * (args.stage1_epochs + args.stage2_epochs)
         common += ["--lr_schedule", args.lr_schedule,
                    "--warmup_steps", str(args.warmup_steps),
                    "--decay_steps", str(total)]
     s1 = os.path.join(root, "run_stage1")
     s2 = os.path.join(root, "run_stage2")
-    # stage 1: descriptor-only, rotation-free augmentations (train.sh:8-13)
-    train_main(common + [
-        "--log_dir", s1, "--noattention", "--noregress",
-        "--augmentation", "Jitter", "RotateSmall", "Shift",
-        "--num_epochs", str(args.stage1_epochs)])
-    # stage 2: full model, restore minus detection scope, add Rotate1D
-    train_main(common + [
-        "--log_dir", s2, "--checkpoint", s1, "--restore_exclude", "detection",
-        "--augmentation", "Jitter", "RotateSmall", "Shift", "Rotate1D",
-        "--num_epochs", str(args.stage2_epochs)])
+    if not args.eval_only:
+        # stage 1: descriptor-only, rotation-free augs (train.sh:8-13)
+        train_main(common + [
+            "--log_dir", s1, "--noattention", "--noregress",
+            "--augmentation", "Jitter", "RotateSmall", "Shift",
+            "--num_epochs", str(args.stage1_epochs)])
+        # stage 2: full model, restore minus detection scope, add Rotate1D
+        train_main(common + [
+            "--log_dir", s2, "--checkpoint", s1,
+            "--restore_exclude", "detection",
+            "--augmentation", "Jitter", "RotateSmall", "Shift", "Rotate1D",
+            "--num_epochs", str(args.stage2_epochs)])
 
     # ---- held-out evaluation with the stage-2 final weights --------------
     import jax
@@ -288,10 +295,17 @@ def main():
     cfg = ModelConfig(num_clusters=args.num_clusters,
                       num_samples=args.num_samples)
     model = Feat3DNet(cfg)
+    # the restore target's opt_state tree must match the checkpoint's:
+    # the cosine schedule keeps its count in opt_state ('constant' keeps
+    # the reference's plain float-lr structure)
+    from feat3dnet_tpu.train.trainer import make_optimizer
+    tx = make_optimizer(args.learning_rate, None, args.lr_schedule,
+                        args.warmup_steps,
+                        total if args.lr_schedule != "constant" else 0)
     state, _ = init_state(
         model, TrainConfig(batch_size=args.batch_size,
                            num_points=args.num_points),
-        cfg, jax.random.PRNGKey(0))
+        cfg, jax.random.PRNGKey(0), tx=tx)
     state = CheckpointManager(os.path.join(s2, "ckpt")).restore(state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     print(f"restored stage-2 step {int(state.step)}", flush=True)
